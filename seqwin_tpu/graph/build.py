@@ -1,0 +1,181 @@
+"""End-to-end minimizer graph construction.
+
+Pipeline (TPU-first re-design of `/root/reference/cpp/src/seqwin/graph.cpp:276-339`):
+
+    host FASTA ingest -> base-code streams
+      -> chunked device scan (ntHash + minimizer selection, `engine/minimizer.py`)
+      -> device sort + host run-merge (`engine/aggregate.py`)
+      -> numpy arrays in the reference output contract.
+
+Where the reference shards assemblies over CPU threads and merges hash maps,
+this build concatenates whole chunks of assemblies into flat device streams
+(parallelism comes from the vector units, not threads) and merges with one
+stable sort. Output is bit-identical to the reference for any chunking and
+worker count: the stream is always assembled in global scan order.
+"""
+from __future__ import annotations
+
+import logging
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Iterable
+
+import numpy as np
+
+from ..io.fasta import parse_fasta_codes
+from .dtypes import EDGE_DTYPE, KMER_DTYPE, NODE_DTYPE
+
+logger = logging.getLogger(__name__)
+
+U32_MAX = (1 << 32) - 1
+
+# Max bases per device scan call; chunks are padded to a power of two, so this
+# also bounds the number of distinct compiled shapes.
+DEFAULT_CHUNK_BASES = 1 << 24
+LOW_MEMORY_CHUNK_BASES = 1 << 22
+
+
+def build(
+    assembly_paths: Iterable[Path | str],
+    kmerlen: int,
+    windowsize: int,
+    is_targets: Iterable[bool],
+    n_cpu: int = 1,
+    low_memory: bool = False,
+    backend: str = 'auto',
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, list[tuple[str, ...]]]:
+    """Build a minimizer graph from assembly FASTA files.
+
+    Same contract as the reference `seqwin.graph.build`
+    (`/root/reference/src/seqwin/graph/__init__.py:61-147`):
+
+    Returns:
+        (kmers, nodes, edges, record_offsets, record_ids)
+        - kmers: KMER_DTYPE[M], minimizer occurrences grouped by node, scan
+          order within each group;
+        - nodes: NODE_DTYPE[U] sorted by hash (penalty zeroed);
+        - edges: EDGE_DTYPE[E] sorted by (first, second);
+        - record_offsets: uintp[A+1] cumulative record counts per assembly;
+        - record_ids: per assembly, tuple of FASTA record ids.
+    """
+    paths = [str(p) for p in assembly_paths]
+    targets = [bool(t) for t in is_targets]
+    if len(paths) != len(targets):
+        raise ValueError('assembly_paths and is_targets must have the same length')
+    if len(paths) > U32_MAX:
+        raise ValueError('Number of input assemblies exceeds uint32 range')
+
+    if backend == 'numpy':
+        return _build_numpy(paths, kmerlen, windowsize, targets, n_cpu)
+
+    # --- ingest (parallel across files) ---
+    n_workers = max(1, min(int(n_cpu), len(paths) or 1))
+    if n_workers > 1:
+        with ThreadPoolExecutor(max_workers=n_workers) as ex:
+            parsed = list(ex.map(parse_fasta_codes, paths))
+    else:
+        parsed = [parse_fasta_codes(p) for p in paths]
+
+    record_ids: list[tuple[str, ...]] = []
+    record_offsets = [0]
+    for pi, (ids, codes_list) in enumerate(parsed):
+        for rid, codes in zip(ids, codes_list):
+            if len(codes) > U32_MAX:
+                raise ValueError(
+                    f'Sequence length exceeds uint32 range for record {rid} in assembly {paths[pi]}'
+                )
+        record_ids.append(tuple(ids))
+        record_offsets.append(record_offsets[-1] + len(ids))
+    if record_offsets[-1] > U32_MAX:
+        raise ValueError('Total number of FASTA records exceeds uint32 range')
+    offsets = np.array(record_offsets, dtype=np.uintp)
+
+    # --- chunked device scan ---
+    from ..engine.minimizer import scan_records_host
+
+    chunk_budget = LOW_MEMORY_CHUNK_BASES if low_memory else DEFAULT_CHUNK_BASES
+    all_oh: list[np.ndarray] = []
+    all_pos: list[np.ndarray] = []
+    all_rec: list[np.ndarray] = []
+
+    chunk_codes: list[np.ndarray] = []
+    chunk_rec_global: list[int] = []
+    chunk_bases = 0
+
+    def flush():
+        nonlocal chunk_codes, chunk_rec_global, chunk_bases
+        if not chunk_codes:
+            return
+        oh, pos, rec = scan_records_host(chunk_codes, kmerlen, windowsize)
+        remap = np.asarray(chunk_rec_global, dtype=np.int64)
+        all_oh.append(oh)
+        all_pos.append(pos)
+        all_rec.append(remap[rec].astype(np.int32) if len(rec) else rec)
+        chunk_codes, chunk_rec_global, chunk_bases = [], [], 0
+
+    rec_global = 0
+    for ids, codes_list in parsed:
+        for codes in codes_list:
+            if chunk_bases + len(codes) > chunk_budget and chunk_codes:
+                flush()
+            chunk_codes.append(codes)
+            chunk_rec_global.append(rec_global)
+            chunk_bases += len(codes)
+            rec_global += 1
+    flush()
+
+    oh = np.concatenate(all_oh) if all_oh else np.zeros(0, np.uint64)
+    pos = np.concatenate(all_pos) if all_pos else np.zeros(0, np.uint32)
+    rec = np.concatenate(all_rec) if all_rec else np.zeros(0, np.int32)
+
+    # --- aggregate ---
+    from ..engine.aggregate import aggregate
+
+    asm = (np.searchsorted(offsets, rec, side='right') - 1).astype(np.int32)
+    kmers, nodes, edges = aggregate(oh, pos, rec, asm, np.asarray(targets, dtype=bool))
+    return kmers, nodes, edges, offsets, record_ids
+
+
+def _build_numpy(paths, kmerlen, windowsize, targets, n_cpu):
+    """Oracle fallback backend (slow; for debugging / jax-free envs)."""
+    from ..ops.oracle import build_graph
+
+    record_ids: list[tuple[str, ...]] = []
+    record_seqs: list[list[np.ndarray]] = []
+    for p in paths:
+        ids, codes_list = parse_fasta_codes(p)
+        record_ids.append(tuple(ids))
+        record_seqs.append(codes_list)
+    kmers, nodes, edges, offsets = build_graph(record_seqs, kmerlen, windowsize, targets)
+    return kmers, nodes, edges, offsets, record_ids
+
+
+def filter_kmers(
+    kmers: np.ndarray, nodes: np.ndarray, used_hashes
+) -> tuple[np.ndarray, np.ndarray]:
+    """Keep only k-mers/nodes whose hash is in ``used_hashes``; rebase ranges.
+
+    Vectorized equivalent of the native sorted-intersection compaction
+    (`/root/reference/cpp/src/seqwin/helpers.cpp:426-488`).
+    """
+    used = np.fromiter((int(h) for h in used_hashes), dtype=np.uint64)
+    used.sort()
+    keep = np.isin(nodes['hash'], used, assume_unique=False)
+    kept_nodes = nodes[keep]
+    sizes = (kept_nodes['stop'] - kept_nodes['start']).astype(np.int64)
+    new_stops = np.cumsum(sizes)
+    new_starts = new_stops - sizes
+
+    total = int(new_stops[-1]) if len(kept_nodes) else 0
+    new_kmers = np.zeros(total, dtype=KMER_DTYPE)
+    # gather segments: build index ranges
+    if total:
+        seg_idx = np.concatenate([
+            np.arange(int(s), int(e)) for s, e in zip(kept_nodes['start'], kept_nodes['stop'])
+        ])
+        new_kmers = kmers[seg_idx]
+
+    out_nodes = kept_nodes.copy()
+    out_nodes['start'] = new_starts
+    out_nodes['stop'] = new_stops
+    return new_kmers, out_nodes

@@ -1,0 +1,226 @@
+"""K-mer graph construction, penalty scoring, and filtering.
+
+Host orchestration over the device engine; numeric contract follows
+`/root/reference/src/seqwin/kmers.py:46-342` (penalty formula, threshold
+estimation, filtering order) with float64 host math to preserve <=1e-12
+agreement.
+"""
+from __future__ import annotations
+
+import logging
+from random import Random
+from time import time
+
+import numpy as np
+from numpy.typing import NDArray
+
+from ..assemblies import Assemblies
+from ..config import HAS_MASH, WORKINGDIR, Config, RunState
+from ..graph import HashGraph, build
+from ..graph.build import filter_kmers as _filter_kmers
+from ..utils import print_time_delta
+from .subgraphs import get_subgraphs
+
+logger = logging.getLogger(__name__)
+
+
+class KmerGraph:
+    """Minimizer graph with penalties; filter() extracts low-penalty subgraphs.
+
+    Attributes mirror the reference (`kmers.py:46-71`): kmers / nodes / edges
+    structured arrays, record_offsets, graph (adjacency), subgraphs.
+    """
+
+    __slots__ = (
+        'kmers', 'nodes', 'edges', 'record_offsets', 'graph', 'node_penalty',
+        'subgraphs', '_is_filtered',
+    )
+
+    def __init__(
+        self,
+        assemblies: Assemblies,
+        kmerlen: int,
+        windowsize: int,
+        n_cpu: int,
+        low_memory: bool,
+        backend: str = 'auto',
+    ) -> None:
+        n_assemblies = len(assemblies)
+        logger.info(f'Building minimizer graph from {n_assemblies} assemblies...')
+        if low_memory:
+            logger.warning(' - Low-memory mode is enabled; graph construction may take longer.')
+        tik = time()
+
+        kmers, nodes, edges, record_offsets, record_ids = build(
+            assemblies.path,
+            kmerlen,
+            windowsize,
+            assemblies.is_target,
+            n_cpu=n_cpu,
+            low_memory=low_memory,
+            backend=backend,
+        )
+        n_tar = sum(assemblies.is_target)
+        n_neg = n_assemblies - n_tar
+        nodes['penalty'] = _frac_to_penalty(
+            nodes['n_tar'] / n_tar,
+            nodes['n_neg'] / n_neg,
+        )
+        assemblies.record_ids = record_ids
+
+        logger.info(f' - Found {len(kmers)} minimizers')
+        logger.info(f' - Found {len(nodes)} nodes (unique minimizers)')
+        logger.info(f' - Found {len(edges)} weighted edges')
+        print_time_delta(time() - tik)
+
+        self.kmers = kmers
+        self.nodes = nodes
+        self.edges = edges
+        self.record_offsets = record_offsets
+        self.graph = None
+        self.node_penalty = None
+        self.subgraphs = None
+        self._is_filtered = False
+
+    def filter(
+        self,
+        penalty_th: float,
+        edge_weight_th: float,
+        min_nodes: int,
+        max_nodes: int | None,
+        rng: Random,
+    ) -> None:
+        """Remove low-weight edges / isolated nodes, extract subgraphs, and
+        compact the k-mer arrays to the used nodes."""
+        if self._is_filtered:
+            logger.error('K-mers are already filtered, cannot filter again.')
+            return None
+
+        logger.info('Extracting low-penalty subgraphs from the k-mer graph...')
+        tik = time()
+        if max_nodes is None:
+            logger.warning(f' - Upper limit of subgraph size is not set. Lower limit is set to {min_nodes}')
+        else:
+            logger.info(f' - Subgraph size limit is set to [{min_nodes}, {max_nodes}]')
+
+        nodes, edges, graph, node_penalty = KmerGraph.__filter_graph(
+            self.nodes, self.edges, edge_weight_th
+        )
+        subgraphs, used_hashes = get_subgraphs(
+            graph, node_penalty, penalty_th, min_nodes, max_nodes, rng
+        )
+
+        logger.info(' - Removing k-mers not included in any of the subgraphs...')
+        kmers, nodes = _filter_kmers(self.kmers, nodes, used_hashes)
+        logger.info(f' - {len(kmers)} k-mers left')
+
+        print_time_delta(time() - tik)
+        self.kmers = kmers
+        self.nodes = nodes
+        self.edges = edges
+        self.graph = graph
+        self.node_penalty = node_penalty
+        self.subgraphs = subgraphs
+        self._is_filtered = True
+
+    @staticmethod
+    def __filter_graph(nodes, edges, edge_weight_th):
+        """Drop edges with weight <= floor(th) and isolated nodes; build the
+        adjacency (`kmers.py:171-211` semantics, HashGraph instead of nx)."""
+        logger.info(' - Filtering graph edges and nodes...')
+        n_nodes, n_edges = len(nodes), len(edges)
+
+        th = np.uintp(edge_weight_th)
+        edges = edges[edges['weight'] > th]
+        logger.info(f' - Removed {n_edges - len(edges)} edges with weight<{edge_weight_th:.3f}, {len(edges)} edges left')
+
+        nodes_to_keep = np.unique(np.concatenate([edges['first'], edges['second']])) if len(edges) else np.zeros(0, np.uint64)
+        nodes = nodes[np.searchsorted(nodes['hash'], nodes_to_keep)]
+        logger.info(f' - Removed {n_nodes - len(nodes)} isolated nodes, {len(nodes)} nodes left')
+
+        logger.info(' - Building graph...')
+        graph = HashGraph()
+        graph.add_edges(zip(edges['first'].tolist(), edges['second'].tolist()))
+        node_penalty = dict(zip(nodes['hash'].tolist(), nodes['penalty'].tolist()))
+        return nodes, edges, graph, node_penalty
+
+
+def _expected_frac(jaccard_mtx: NDArray) -> np.floating:
+    """E(frac) = mean(2J / (1+J)) (`kmers.py:214-222`)."""
+    return np.mean(2 * jaccard_mtx / (1 + jaccard_mtx))
+
+
+def _frac_to_penalty(frac_tar, frac_neg):
+    """Penalty = L2 norm of (1 - frac_tar, frac_neg) (`kmers.py:225-230`)."""
+    return ((1 - frac_tar) ** 2 + frac_neg ** 2) ** 0.5
+
+
+def get_kmers(
+    assemblies: Assemblies, config: Config, state: RunState
+) -> tuple[KmerGraph, NDArray | None]:
+    """Build the KmerGraph, estimate thresholds, and filter
+    (`kmers.py:233-342` numeric contract)."""
+    kmers = KmerGraph(
+        assemblies, config.kmerlen, config.windowsize, config.n_cpu,
+        config.low_memory, backend=config.device_backend,
+    )
+    if config.no_filter:
+        return kmers, None
+
+    n_tar = state.n_tar
+    n_neg = state.n_neg
+    penalty_th = config.penalty_th
+
+    if penalty_th is None:
+        logger.info('Calculating penalty threshold...')
+        tik = time()
+        if config.run_mash and HAS_MASH:
+            jaccard = assemblies.mash(
+                kmerlen=config.kmerlen,
+                sketchsize=config.sketchsize,
+                out_path=state.working_dir / WORKINGDIR.mash,
+                overwrite=config.overwrite,
+                n_cpu=config.n_cpu,
+            )
+            e_absence_tar = 1 - _expected_frac(jaccard[:n_tar, :n_tar])
+            e_presence_neg = _expected_frac(jaccard[n_tar:, :n_tar])
+        else:
+            if config.run_mash:
+                logger.error('Mash is not installed. Falling back to minimizer sketches.')
+            nodes = kmers.nodes
+            frac_tar = nodes['n_tar'] / n_tar
+            e_absence_tar = 1 - np.sum(frac_tar * nodes['n_tar']) / np.sum(nodes['n_tar'])
+            frac_neg = nodes['n_neg'] / n_neg
+            e_presence_neg = np.sum(frac_neg * nodes['n_tar']) / np.sum(nodes['n_tar'])
+            jaccard = None
+
+        logger.info(f' - expected k-mer absence in targets: {e_absence_tar:.5f}')
+        logger.info(f' - expected k-mer presence in non-targets: {e_presence_neg:.5f}')
+
+        penalty_th_mul = 1 - config.stringency / 10
+        penalty_th = penalty_th_mul * (e_absence_tar * e_presence_neg) ** 0.5
+        logger.info(f' - calculated penalty threshold: {penalty_th:.5f}')
+        if penalty_th > config.penalty_th_cap:
+            penalty_th = config.penalty_th_cap
+            logger.warning(f' - calculated penalty threshold is too large (capped at {penalty_th})')
+        print_time_delta(time() - tik)
+    else:
+        logger.warning('Penalty threshold is provided (--penalty-th), skip auto estimation')
+        jaccard = None
+
+    edge_weight_th = config.edge_w_th_mul * (1 - penalty_th) * n_tar
+
+    gap_len = (config.windowsize + 1) // 2
+    min_nodes = max(config.min_nodes_floor, config.min_len // gap_len + 1)
+    if config.max_len is None:
+        max_nodes = config.max_nodes_cap
+    else:
+        max_nodes = config.max_len // gap_len + 1
+
+    kmers.filter(penalty_th, edge_weight_th, min_nodes, max_nodes, state.rng)
+
+    state.penalty_th = penalty_th
+    state.edge_weight_th = edge_weight_th
+    state.min_nodes = min_nodes
+    state.max_nodes = max_nodes
+    return kmers, jaccard
