@@ -86,7 +86,6 @@ class Seqwin:
             file_to_write(graph_path, config.overwrite)
             np.savez(
                 graph_path,
-                allow_pickle=False,
                 kmers=kmers.kmers,
                 nodes=kmers.nodes,
                 edges=kmers.edges,
