@@ -1,0 +1,85 @@
+"""Benchmark: end-to-end minimizer graph build throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference builds 8,346,500 minimizers in 6.55 s on 4 CPU
+threads (~1.27 M minimizers/s; `/root/repo/BASELINE.md`, golden run log
+`/root/reference/tests/expected-output/seqwin.log:7-11`). The benchmark
+synthesizes a comparable workload (mutated clones of a random base genome,
+so targets share most minimizers) and measures a full `graph.build` --
+host FASTA parse + device scan + aggregation -- after one warmup run.
+"""
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+BASELINE_MIN_PER_S = 8_346_500 / 6.55  # reference: 4-thread CPU build
+
+N_GENOMES = int(os.environ.get('BENCH_GENOMES', '24'))
+GENOME_LEN = int(os.environ.get('BENCH_GENOME_LEN', str(2_000_000)))
+K = 21
+W = 200
+
+
+def synth_dataset(tmp: Path) -> tuple[list[Path], list[bool]]:
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 4, size=GENOME_LEN).astype(np.uint8)
+    alphabet = np.frombuffer(b'ACGT', dtype=np.uint8)
+    paths, targets = [], []
+    for i in range(N_GENOMES):
+        g = base.copy()
+        # ~0.5% SNPs per genome
+        idx = rng.integers(0, GENOME_LEN, size=GENOME_LEN // 200)
+        g[idx] = (g[idx] + rng.integers(1, 4, size=idx.size)) % 4
+        seq = alphabet[g].tobytes().decode()
+        p = tmp / f'g{i}.fasta'
+        with open(p, 'w') as f:
+            f.write(f'>g{i}\n')
+            for off in range(0, len(seq), 80):
+                f.write(seq[off:off + 80] + '\n')
+        paths.append(p)
+        targets.append(i < N_GENOMES // 2)
+    return paths, targets
+
+
+def main() -> None:
+    import seqwin_tpu  # noqa: F401  (x64 on)
+    from seqwin_tpu.graph import build
+
+    with tempfile.TemporaryDirectory() as td:
+        tmp = Path(td)
+        paths, targets = synth_dataset(tmp)
+
+        # warmup: compiles all chunk shapes + first device contact
+        t0 = time.time()
+        kmers, *_ = build(paths, K, W, targets, n_cpu=8)
+        warm = time.time() - t0
+
+        t0 = time.time()
+        kmers, nodes, edges, *_ = build(paths, K, W, targets, n_cpu=8)
+        dt = time.time() - t0
+
+    n_min = len(kmers)
+    rate = n_min / dt
+    result = {
+        'metric': 'graph_build_minimizers_per_s',
+        'value': round(rate, 1),
+        'unit': 'minimizers/s',
+        'vs_baseline': round(rate / BASELINE_MIN_PER_S, 3),
+    }
+    print(json.dumps(result))
+    print(
+        f'# {n_min} minimizers, {len(nodes)} nodes, {len(edges)} edges; '
+        f'build {dt:.2f}s (warmup {warm:.2f}s); '
+        f'{N_GENOMES} genomes x {GENOME_LEN} bp, k={K}, w={W}',
+        file=sys.stderr,
+    )
+
+
+if __name__ == '__main__':
+    main()

@@ -132,8 +132,7 @@ class ScanResult:
     count: jax.Array     # int64 scalar: number of emitted minimizers
 
 
-@functools.partial(jax.jit, static_argnames=('k', 'w', 'emit_cap'))
-def scan_minimizers(codes, is_start, k: int, w: int, emit_cap: int) -> ScanResult:
+def scan_core(codes, is_start, k: int, w: int, emit_cap: int) -> ScanResult:
     """Emit minimizers for a flat stream of concatenated records.
 
     Args:
@@ -245,6 +244,9 @@ def scan_minimizers(codes, is_start, k: int, w: int, emit_cap: int) -> ScanResul
     e_pos = jnp.zeros((emit_cap,), dtype=i64).at[out_tgt].set(pos_c, mode='drop')
     e_rec = jnp.full((emit_cap,), jnp.int32(-1)).at[out_tgt].set(rec_c, mode='drop')
     return ScanResult(e_oh, e_pos.astype(jnp.uint32), e_rec, count)
+
+
+scan_minimizers = functools.partial(jax.jit, static_argnames=('k', 'w', 'emit_cap'))(scan_core)
 
 
 def next_pow2(x: int) -> int:
