@@ -52,10 +52,23 @@ def _read_bytes(path: str | Path) -> bytes:
 def parse_fasta_codes(path: str | Path) -> tuple[list[str], list[np.ndarray]]:
     """Parse a FASTA file into record ids and base-code arrays.
 
+    Uses the native C++ scanner (`io/native`) when available, with a NumPy
+    fallback implementing the identical contract.
+
     Returns:
         (record_ids, record_codes): parallel lists; codes are uint8 arrays with
         values 0..3 for ACGT(U) (case-insensitive) and 255 otherwise.
     """
+    from . import native
+
+    result = native.parse_fasta_codes_native(path)
+    if result is not None:
+        return result
+    return parse_fasta_codes_py(path)
+
+
+def parse_fasta_codes_py(path: str | Path) -> tuple[list[str], list[np.ndarray]]:
+    """Pure-NumPy FASTA parser (fallback + differential-test baseline)."""
     data = _read_bytes(path)
     buf = np.frombuffer(data, dtype=np.uint8)
     n = buf.size

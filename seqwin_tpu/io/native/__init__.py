@@ -1,0 +1,115 @@
+"""ctypes binding for the native FASTA ingest, with transparent build+fallback.
+
+The shared library is compiled on first use with the system toolchain and
+cached next to this package. Any failure (no compiler, no zlib) silently
+falls back to the NumPy parser in `io/fasta.py` -- both implement the same
+contract and are differential-tested against each other.
+"""
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import tempfile
+import threading
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_HERE = Path(__file__).resolve().parent
+_SRC = _HERE / 'fastacodes.cpp'
+_LIB_PATH = _HERE / '_fastacodes.so'
+_lock = threading.Lock()
+_lib = None
+_lib_failed = False
+
+
+def _build_library() -> Path | None:
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            tmp_so = Path(td) / '_fastacodes.so'
+            cmd = [
+                'g++', '-O3', '-std=c++17', '-shared', '-fPIC',
+                str(_SRC), '-o', str(tmp_so), '-lz',
+            ]
+            subprocess.run(cmd, check=True, capture_output=True)
+            data = tmp_so.read_bytes()
+        tmp_out = _LIB_PATH.with_suffix(f'.so.tmp{os.getpid()}')
+        tmp_out.write_bytes(data)
+        os.replace(tmp_out, _LIB_PATH)
+        return _LIB_PATH
+    except Exception as e:  # no compiler / no zlib / read-only fs
+        logger.debug(f'native ingest build failed, using NumPy parser: {e}')
+        return None
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        path = _LIB_PATH
+        if not path.exists() or path.stat().st_mtime < _SRC.stat().st_mtime:
+            built = _build_library()
+            if built is None:
+                _lib_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(str(path))
+        except OSError as e:
+            logger.debug(f'native ingest load failed: {e}')
+            _lib_failed = True
+            return None
+        lib.sq_parse.restype = ctypes.c_void_p
+        lib.sq_parse.argtypes = [ctypes.c_char_p]
+        lib.sq_error.restype = ctypes.c_char_p
+        lib.sq_error.argtypes = [ctypes.c_void_p]
+        lib.sq_n_records.restype = ctypes.c_uint64
+        lib.sq_n_records.argtypes = [ctypes.c_void_p]
+        lib.sq_total_bases.restype = ctypes.c_uint64
+        lib.sq_total_bases.argtypes = [ctypes.c_void_p]
+        lib.sq_codes.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.sq_codes.argtypes = [ctypes.c_void_p]
+        lib.sq_offsets.restype = ctypes.POINTER(ctypes.c_uint64)
+        lib.sq_offsets.argtypes = [ctypes.c_void_p]
+        lib.sq_record_id.restype = ctypes.c_char_p
+        lib.sq_record_id.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+        lib.sq_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def parse_fasta_codes_native(path) -> tuple[list[str], list[np.ndarray]] | None:
+    """Native-path equivalent of `io.fasta.parse_fasta_codes`.
+    Returns None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    h = lib.sq_parse(str(path).encode())
+    try:
+        err = lib.sq_error(h)
+        if err:
+            raise ValueError(f'{err.decode()}: {path}')
+        n_rec = lib.sq_n_records(h)
+        total = lib.sq_total_bases(h)
+        ids = [lib.sq_record_id(h, i).decode('utf-8', errors='replace') for i in range(n_rec)]
+        if n_rec == 0:
+            return ids, []
+        offsets = np.ctypeslib.as_array(lib.sq_offsets(h), shape=(n_rec + 1,)).copy()
+        if total:
+            codes_flat = np.ctypeslib.as_array(lib.sq_codes(h), shape=(total,)).copy()
+        else:
+            codes_flat = np.zeros(0, dtype=np.uint8)
+        codes = [codes_flat[offsets[i]:offsets[i + 1]] for i in range(n_rec)]
+        return ids, codes
+    finally:
+        lib.sq_free(h)
