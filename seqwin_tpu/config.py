@@ -101,6 +101,12 @@ class Config(BaseModel):
 
     # TPU-specific (additive; defaults preserve reference behavior)
     device_backend: str = 'auto'  # 'auto' | 'xla' | 'numpy'
+    # Jaccard estimator for the penalty threshold:
+    #   'auto'      -- reference behavior: external mash if run_mash and
+    #                  installed, else the minimizer-sketch estimator
+    #   'device'    -- on-device bottom-k MinHash sketches (mash-free)
+    #   'minimizer' -- force the minimizer-sketch estimator
+    sketch_mode: str = 'auto'
 
     @computed_field
     @cached_property

@@ -145,6 +145,17 @@ class KmerGraph:
         return nodes, edges, graph, node_penalty
 
 
+def _device_jaccard(assemblies: Assemblies, config: Config) -> NDArray:
+    """On-device bottom-k MinHash Jaccard matrix (mash-free estimator)."""
+    from ..io.fasta import parse_fasta_codes
+    from ..mash import device_sketches, sketch_jaccard_matrix
+
+    logger.info(' - Computing on-device MinHash sketches...')
+    records = [parse_fasta_codes(p)[1] for p in assemblies.path]
+    sketches = device_sketches(records, config.kmerlen, config.sketchsize)
+    return sketch_jaccard_matrix(sketches, config.sketchsize)
+
+
 def _expected_frac(jaccard_mtx: NDArray) -> np.floating:
     """E(frac) = mean(2J / (1+J)) (`kmers.py:214-222`)."""
     return np.mean(2 * jaccard_mtx / (1 + jaccard_mtx))
@@ -174,7 +185,11 @@ def get_kmers(
     if penalty_th is None:
         logger.info('Calculating penalty threshold...')
         tik = time()
-        if config.run_mash and HAS_MASH:
+        if config.sketch_mode == 'device':
+            jaccard = _device_jaccard(assemblies, config)
+            e_absence_tar = 1 - _expected_frac(jaccard[:n_tar, :n_tar])
+            e_presence_neg = _expected_frac(jaccard[n_tar:, :n_tar])
+        elif config.sketch_mode != 'minimizer' and config.run_mash and HAS_MASH:
             jaccard = assemblies.mash(
                 kmerlen=config.kmerlen,
                 sketchsize=config.sketchsize,
@@ -185,7 +200,7 @@ def get_kmers(
             e_absence_tar = 1 - _expected_frac(jaccard[:n_tar, :n_tar])
             e_presence_neg = _expected_frac(jaccard[n_tar:, :n_tar])
         else:
-            if config.run_mash:
+            if config.run_mash and config.sketch_mode != 'minimizer':
                 logger.error('Mash is not installed. Falling back to minimizer sketches.')
             nodes = kmers.nodes
             frac_tar = nodes['n_tar'] / n_tar
