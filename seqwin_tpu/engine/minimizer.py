@@ -182,12 +182,22 @@ def scan_core(codes, is_start, k: int, w: int, emit_cap: int) -> ScanResult:
     valid = (~bad_win) & (rec == rec_end) & (iota <= i64(n - k)) & (rec >= 0)
 
     # --- compaction of valid k-mers (order preserved) ---
-    vpos = jnp.cumsum(valid.astype(i64)) - 1
-    tgt = jnp.where(valid, vpos, i64(n))
-    mh_c = jnp.full((n,), _u64(M64)).at[tgt].set(canon, mode='drop')
-    oh_c = jnp.zeros((n,), dtype=_U64).at[tgt].set(oh, mode='drop')
-    pos_c = jnp.zeros((n,), dtype=i64).at[tgt].set(base_pos, mode='drop')
-    rec_c = jnp.full((n,), jnp.int32(-1)).at[tgt].set(rec, mode='drop')
+    # One stable sort on the validity flag: TPU scatter is pathologically slow
+    # (~10x a variadic sort at 16M elements), so compaction is sort-based.
+    # (pos, rec) ride along packed into one u64 lane.
+    inv_key = (~valid).astype(jnp.uint8)
+    mh_in = jnp.where(valid, canon, _u64(M64))
+    oh_in = jnp.where(valid, oh, _u64(0))
+    pr_in = jnp.where(
+        valid,
+        ((rec.astype(_U64) + _u64(1)) << _u64(32)) | base_pos.astype(_U64),
+        _u64(0),
+    )
+    _, mh_c, oh_c, pr_c = jax.lax.sort(
+        (inv_key, mh_in, oh_in, pr_in), num_keys=1, is_stable=True
+    )
+    pos_c = (pr_c & _u64(0xFFFFFFFF)).astype(i64)
+    rec_c = (pr_c >> _u64(32)).astype(jnp.int32) - 1
 
     # --- w-window rightmost-argmin via two-block prefix/suffix scans ---
     pad = (-n) % w
@@ -234,15 +244,20 @@ def scan_core(codes, is_start, k: int, w: int, emit_cap: int) -> ScanResult:
     cmax_excl = _shift_right(jax.lax.cummax(z), 1, i64(-2))
     emit_win = (z >= 0) & (z > cmax_excl)
 
-    # mark emitted entries, then compact aligned entry arrays
-    entry_tgt = jnp.where(emit_win, win_idx, i64(n))
-    emitted = jnp.zeros((n,), dtype=bool).at[entry_tgt].set(True, mode='drop')
-    count = jnp.sum(emitted.astype(i64))
-    out_idx = jnp.cumsum(emitted.astype(i64)) - 1
-    out_tgt = jnp.where(emitted, out_idx, i64(emit_cap))
-    e_oh = jnp.zeros((emit_cap,), dtype=_U64).at[out_tgt].set(oh_c, mode='drop')
-    e_pos = jnp.zeros((emit_cap,), dtype=i64).at[out_tgt].set(pos_c, mode='drop')
-    e_rec = jnp.full((emit_cap,), jnp.int32(-1)).at[out_tgt].set(rec_c, mode='drop')
+    # Extract emitted entry indices with top_k (scatter-free): emitted indices
+    # are distinct, so the emit_cap largest z values, reversed, are exactly the
+    # emitted entries in ascending (scan) order.
+    count = jnp.sum(emit_win.astype(i64))
+    zz = jnp.where(emit_win, z, i64(-1))
+    topv, _ = jax.lax.top_k(zz, emit_cap)
+    asc = topv[::-1]  # ascending, padded with -1 at the front
+    n_pad = emit_cap - jnp.minimum(count, i64(emit_cap))
+    eidx = jnp.roll(asc, -n_pad)  # real entries first, -1 padding at the end
+    safe = jnp.clip(eidx, 0, n - 1)
+    live = eidx >= 0
+    e_oh = jnp.where(live, oh_c[safe], _u64(0))
+    e_pos = jnp.where(live, pos_c[safe], i64(0))
+    e_rec = jnp.where(live, rec_c[safe], jnp.int32(-1))
     return ScanResult(e_oh, e_pos.astype(jnp.uint32), e_rec, count)
 
 
