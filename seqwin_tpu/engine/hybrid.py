@@ -1,0 +1,292 @@
+"""Compaction-free minimizer scan: clean windows on device, irregular windows
+patched by the host.
+
+Motivation (measured on TPU v5e at 16M elements): XLA scatter ~2s, variadic
+stable sort ~200ms, elementwise/scan stages ~50ms. The exact semantics need
+windows over *valid* k-mers, which naively requires compacting the valid
+stream (a sort). This module removes compaction entirely:
+
+- A window ending at valid k-mer position ``p`` whose last ``w`` *positions*
+  are all valid k-mers is **clean**: its valid-index window equals the
+  position window [p-w+1, p], so the two-block rightmost-argmin runs directly
+  in position space (pure VPU work).
+- Windows whose span contains an invalid k-mer position (``N`` runs, record
+  junctions, record heads) are **irregular**. Their locations depend only on
+  the base codes and record layout -- both host-known -- so the host
+  enumerates them, asks the device for the ~1e5 hash values involved (one
+  small gather), computes the exact rightmost-argmin per irregular window
+  with NumPy, and sends back a z-patch (a small scatter).
+- Emission is the usual prefix-max over z, with z now being the *flat
+  position* of the window minimum: positions are strictly increasing in
+  valid-index order, so the emission decisions are unchanged
+  (`/root/reference/cpp/vendor/btllib/minimizer.cpp:44-48` semantics).
+
+Differentially tested against both the sort-based `scan_core` and the NumPy
+oracle, including heavy-N and short-record cases.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.hashing import M64, MULTISHIFT, SEEDS, SEEDS_COMP, out_hash_mult
+from .minimizer import (
+    ScanResult,
+    _combine_rmin,
+    _select_seed,
+    _shift_left,
+    _shift_right,
+    _srol_parts,
+    _window_any,
+    _window_xor,
+    next_pow2,
+)
+
+_U64 = jnp.uint64
+i64 = jnp.int64
+
+
+def _u64(x: int):
+    return jnp.uint64(x)
+
+
+@functools.partial(jax.jit, static_argnames=('k', 'w', 'patch_cap'))
+def scan_phase1(codes, rec, base_pos, patch_idx, k: int, w: int, patch_cap: int):
+    """Device call 1: hashes + clean-window argmin + hash patch gather.
+
+    Args:
+        codes: uint8[N] base codes.
+        rec: int32[N] record ordinal per base (-1 on padding).
+        base_pos: int64[N] position-in-record per base.
+        patch_idx: int32[patch_cap] positions whose canonical hash the host
+            needs for irregular windows (padded with 0).
+
+    Returns:
+        (z_clean i64[N], oh u64[N], mh_patch u64[patch_cap])
+    """
+    n = codes.shape[0]
+    iota = jnp.arange(n, dtype=i64)
+
+    im33 = (iota % 33).astype(jnp.int32)
+    im31 = (iota % 31).astype(jnp.int32)
+    neg33 = (33 - im33) % 33
+    neg31 = (31 - im31) % 31
+    a = _srol_parts(_select_seed(codes, SEEDS), neg33, neg31)
+    b = _srol_parts(_select_seed(codes, SEEDS_COMP), im33, im31)
+    wf = _window_xor(a, k)
+    wr = _window_xor(b, k)
+    f33 = ((im33 + (k - 1)) % 33).astype(jnp.int32)
+    f31 = ((im31 + (k - 1)) % 31).astype(jnp.int32)
+    fwd = _srol_parts(wf, f33, f31)
+    rev = _srol_parts(wr, neg33, neg31)
+    canon = fwd + rev
+    t = canon * _u64(out_hash_mult(k))
+    oh = t ^ (t >> _u64(MULTISHIFT))
+
+    invalid = codes > 3
+    bad_win = _window_any(invalid, k)
+    rec_end = _shift_left(rec, k - 1, jnp.int32(-1))
+    valid = (~bad_win) & (rec == rec_end) & (iota <= i64(n - k)) & (rec >= 0)
+
+    # clean window: last w positions are all valid k-mers
+    invk_fwd = _window_any(~valid, w)  # OR over [p, p+w-1]
+    has_invalid_back = _shift_right(invk_fwd, w - 1, jnp.asarray(True))
+    clean = valid & (iota >= i64(w - 1)) & (~has_invalid_back)
+
+    # position-space two-block rightmost-argmin over width w
+    mh = jnp.where(valid, canon, _u64(M64))
+    idx = jnp.where(valid, iota, i64(-1))
+    pad = (-n) % w
+    if pad:
+        mh_p = jnp.concatenate([mh, jnp.full((pad,), _u64(M64))])
+        idx_p = jnp.concatenate([idx, jnp.full((pad,), i64(-1))])
+    else:
+        mh_p, idx_p = mh, idx
+    rows = (n + pad) // w
+    pm, pi = mh_p.reshape(rows, w), idx_p.reshape(rows, w)
+    sm, si = pm, pi
+    s = 1
+    while s < w:
+        lm = jnp.concatenate([jnp.full((rows, s), _u64(M64)), pm[:, :-s]], axis=1)
+        li = jnp.concatenate([jnp.full((rows, s), i64(-1)), pi[:, :-s]], axis=1)
+        pm, pi = _combine_rmin(lm, li, pm, pi)
+        rm = jnp.concatenate([sm[:, s:], jnp.full((rows, s), _u64(M64))], axis=1)
+        ri = jnp.concatenate([si[:, s:], jnp.full((rows, s), i64(-1))], axis=1)
+        sm, si = _combine_rmin(sm, si, rm, ri)
+        s <<= 1
+    p_mh = pm.reshape(-1)[:n]
+    p_idx = pi.reshape(-1)[:n]
+    t_mh = _shift_right(sm.reshape(-1), w - 1, _u64(M64))[:n]
+    t_idx = _shift_right(si.reshape(-1), w - 1, i64(-1))[:n]
+    win_mh, win_idx = _combine_rmin(t_mh, t_idx, p_mh, p_idx)
+
+    z_clean = jnp.where(clean & (win_mh != _u64(M64)), win_idx, i64(-1))
+    mh_patch = canon[jnp.clip(patch_idx, 0, n - 1).astype(i64)]
+    return z_clean, oh, mh_patch
+
+
+@functools.partial(jax.jit, static_argnames=('emit_cap',))
+def scan_phase2(z_clean, oh, rec, base_pos, patch_pos, patch_z, emit_cap: int):
+    """Device call 2: apply the irregular z-patch, run emission, gather output.
+
+    Args:
+        z_clean, oh: phase-1 outputs (device-resident).
+        rec, base_pos: per-base record layout.
+        patch_pos: int64[P] positions of irregular windows (pad with n).
+        patch_z: i64[P] exact z for those windows (-1 allowed).
+    """
+    n = z_clean.shape[0]
+    z = z_clean.at[patch_pos].set(patch_z, mode='drop')
+    cmax_excl = _shift_right(jax.lax.cummax(z), 1, i64(-2))
+    emit_win = (z >= 0) & (z > cmax_excl)
+    count = jnp.sum(emit_win.astype(i64))
+    zz = jnp.where(emit_win, z, i64(-1))
+    topv, _ = jax.lax.top_k(zz, emit_cap)
+    asc = topv[::-1]
+    n_pad = emit_cap - jnp.minimum(count, i64(emit_cap))
+    eidx = jnp.roll(asc, -n_pad)
+    safe = jnp.clip(eidx, 0, n - 1)
+    live = eidx >= 0
+    e_oh = jnp.where(live, oh[safe], _u64(0))
+    e_pos = jnp.where(live, base_pos[safe], i64(0))
+    e_rec = jnp.where(live, rec[safe], jnp.int32(-1))
+    return ScanResult(e_oh, e_pos.astype(jnp.uint32), e_rec, count)
+
+
+def _host_layout(record_codes: list[np.ndarray], n: int):
+    """Concatenate records; per-base codes, record ordinal and position."""
+    codes = np.full(n, 255, dtype=np.uint8)
+    rec = np.full(n, -1, dtype=np.int32)
+    base_pos = np.zeros(n, dtype=np.int64)
+    off = 0
+    lens = []
+    for ri, c in enumerate(record_codes):
+        L = len(c)
+        codes[off:off + L] = c
+        rec[off:off + L] = ri
+        base_pos[off:off + L] = np.arange(L, dtype=np.int64)
+        off += L
+        lens.append(L)
+    return codes, rec, base_pos, off
+
+
+def _host_irregular(codes: np.ndarray, rec: np.ndarray, k: int, w: int):
+    """Enumerate irregular windows and their members from codes alone.
+
+    Returns:
+        (patch_fetch_idx int32[U], irr_pos int64[Q], members int64[Q, w])
+        where members[q] are the flat positions of the w valid k-mers ending
+        the window at irr_pos[q].
+    """
+    n = len(codes)
+    invb = codes > 3
+    cnt = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(invb, out=cnt[1:])
+    p = np.arange(n, dtype=np.int64)
+    in_range = p <= n - k
+    bad_win = np.zeros(n, dtype=bool)
+    bad_win[:n - k + 1] = (cnt[k:] - cnt[:n - k + 1]) > 0
+    rec_end = np.full(n, -1, dtype=np.int32)
+    rec_end[:n - k + 1] = rec[k - 1:]
+    valid = (~bad_win) & (rec == rec_end) & in_range & (rec >= 0)
+
+    invk = ~valid
+    icnt = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(invk, out=icnt[1:])
+    # window [p-w+1, p] contains an invalid k-mer position?
+    has_inv = np.zeros(n, dtype=bool)
+    lo = np.maximum(p - w + 1, 0)
+    has_inv = (icnt[p + 1] - icnt[lo]) > 0
+
+    # rank of each valid k-mer within its record
+    g = np.cumsum(valid) - 1  # global valid rank at p (for valid p)
+    V = np.flatnonzero(valid).astype(np.int64)
+    # rank-in-record: global rank minus rank at record start
+    if len(V):
+        v_rec = rec[V]
+        rec_first = np.ones(len(V), dtype=bool)
+        rec_first[1:] = v_rec[1:] != v_rec[:-1]
+        rec_start_rank = np.maximum.accumulate(np.where(rec_first, np.arange(len(V)), 0))
+        rank_in_rec = np.arange(len(V)) - rec_start_rank
+    else:
+        rank_in_rec = np.zeros(0, dtype=np.int64)
+
+    irr_mask_v = (rank_in_rec >= w - 1)
+    if len(V):
+        irr_mask_v &= has_inv[V]
+    irr_v = np.flatnonzero(irr_mask_v)
+    irr_pos = V[irr_v]
+    if len(irr_v) == 0:
+        return (np.zeros(0, np.int32), irr_pos, np.zeros((0, w), np.int64))
+    members = V[irr_v[:, None] - (w - 1) + np.arange(w)[None, :]]
+    fetch = np.unique(members)
+    return fetch.astype(np.int32), irr_pos, members
+
+
+def _host_patch_z(mh_fetch: np.ndarray, fetch_idx: np.ndarray, members: np.ndarray):
+    """Exact rightmost-argmin per irregular window from fetched hashes."""
+    if members.size == 0:
+        return np.zeros(0, np.int64)
+    lookup = np.searchsorted(fetch_idx, members)
+    mh = mh_fetch[lookup]  # [Q, w]
+    rev = mh[:, ::-1]
+    j = np.argmin(rev, axis=1)  # first min in reversed = rightmost min
+    q = np.arange(len(members))
+    z = members[q, members.shape[1] - 1 - j]
+    minval = rev[q, j]
+    z = np.where(minval == np.uint64(0xFFFFFFFFFFFFFFFF), -1, z)
+    return z.astype(np.int64)
+
+
+def scan_records_hybrid(
+    record_codes: list[np.ndarray],
+    k: int,
+    w: int,
+    min_chunk: int = 1 << 16,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host driver for the hybrid scan. Same contract as
+    `minimizer.scan_records_host` (exact, scan-ordered emissions)."""
+    total = int(sum(len(c) for c in record_codes))
+    if total == 0 or not record_codes:
+        return (np.zeros(0, np.uint64), np.zeros(0, np.uint32), np.zeros(0, np.int32))
+    n = max(min_chunk, next_pow2(total))
+    codes, rec, base_pos, _ = _host_layout(record_codes, n)
+
+    fetch_idx, irr_pos, members = _host_irregular(codes, rec, k, w)
+    patch_cap = max(256, next_pow2(len(fetch_idx) or 1))
+    patch_idx = np.zeros(patch_cap, dtype=np.int32)
+    patch_idx[:len(fetch_idx)] = fetch_idx
+
+    z_clean, oh, mh_patch = scan_phase1(
+        jnp.asarray(codes), jnp.asarray(rec), jnp.asarray(base_pos),
+        jnp.asarray(patch_idx), k, w, patch_cap,
+    )
+    mh_fetch = np.asarray(mh_patch)[:len(fetch_idx)]
+    patch_z = _host_patch_z(mh_fetch, fetch_idx, members)
+
+    pcap = max(256, next_pow2(len(irr_pos) or 1))
+    patch_pos_a = np.full(pcap, n, dtype=np.int64)
+    patch_z_a = np.full(pcap, -1, dtype=np.int64)
+    patch_pos_a[:len(irr_pos)] = irr_pos
+    patch_z_a[:len(irr_pos)] = patch_z
+
+    rec_j = jnp.asarray(rec)
+    base_pos_j = jnp.asarray(base_pos)
+    emit_cap = max(1 << 12, next_pow2(4 * total // (w + 1) + 64))
+    while True:
+        res = scan_phase2(
+            z_clean, oh, rec_j, base_pos_j,
+            jnp.asarray(patch_pos_a), jnp.asarray(patch_z_a), emit_cap,
+        )
+        count = int(res.count)
+        if count <= emit_cap:
+            return (
+                np.asarray(res.out_hash[:count]),
+                np.asarray(res.pos[:count]),
+                np.asarray(res.rec[:count]),
+            )
+        emit_cap = next_pow2(count)

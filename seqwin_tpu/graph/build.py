@@ -91,7 +91,12 @@ def build(
     offsets = np.array(record_offsets, dtype=np.uintp)
 
     # --- chunked device scan ---
-    from ..engine.minimizer import scan_records_host
+    import os
+
+    if os.environ.get('SEQWIN_TPU_SCAN', 'hybrid') == 'sort':
+        from ..engine.minimizer import scan_records_host
+    else:
+        from ..engine.hybrid import scan_records_hybrid as scan_records_host
 
     chunk_budget = LOW_MEMORY_CHUNK_BASES if low_memory else DEFAULT_CHUNK_BASES
     all_oh: list[np.ndarray] = []

@@ -1,0 +1,104 @@
+"""The hybrid (compaction-free) scan must equal the oracle and the sort-based
+scan on every corpus, including heavy-N and boundary cases."""
+import numpy as np
+import pytest
+
+from seqwin_tpu.engine.hybrid import scan_records_hybrid
+from seqwin_tpu.engine.minimizer import scan_records_host
+from seqwin_tpu.ops import oracle
+
+
+def _random_codes(rng, n, n_frac=0.0, run_frac=0.0):
+    codes = rng.integers(0, 4, size=n).astype(np.uint8)
+    if n_frac > 0:
+        codes[rng.random(n) < n_frac] = 255
+    if run_frac > 0:
+        n_runs = max(1, int(n * run_frac / 20))
+        for _ in range(n_runs):
+            s = int(rng.integers(0, n))
+            codes[s:s + int(rng.integers(1, 40))] = 255
+    return codes
+
+
+def _oracle_stream(records, k, w):
+    oh, pos, rec = [], [], []
+    for ri, codes in enumerate(records):
+        for _, o, p in oracle.minimize(codes, k, w):
+            oh.append(o)
+            pos.append(p)
+            rec.append(ri)
+    return (
+        np.array(oh, dtype=np.uint64),
+        np.array(pos, dtype=np.uint32),
+        np.array(rec, dtype=np.int32),
+    )
+
+
+@pytest.mark.parametrize('k,w', [(7, 10), (17, 10), (21, 200), (4, 3), (8, 1), (5, 64)])
+def test_hybrid_matches_oracle(k, w):
+    rng = np.random.default_rng(k * 31 + w)
+    records = [
+        _random_codes(rng, n, f, r)
+        for n, f, r in [
+            (500, 0.0, 0.0), (1500, 0.02, 0.0), (30, 0.0, 0.0),
+            (k + w - 2, 0.0, 0.0), (2048, 0.0, 0.3), (4000, 0.05, 0.1),
+        ]
+    ]
+    e = _oracle_stream(records, k, w)
+    got = scan_records_hybrid(records, k, w)
+    for a, b in zip(got, e):
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize('seed', range(6))
+def test_hybrid_matches_sort_engine_random(seed):
+    rng = np.random.default_rng(seed)
+    k = int(rng.integers(3, 25))
+    w = int(rng.integers(1, 80))
+    records = [
+        _random_codes(rng, int(rng.integers(10, 3000)), 0.03, 0.2)
+        for _ in range(int(rng.integers(1, 8)))
+    ]
+    a = scan_records_host(records, k, w)
+    b = scan_records_hybrid(records, k, w)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_hybrid_edge_patterns():
+    k, w = 11, 16
+    rng = np.random.default_rng(99)
+    records = []
+    # N run exactly at a window boundary; record starting/ending with Ns;
+    # alternating short valid islands smaller than w
+    c = _random_codes(rng, 2000)
+    c[500:520] = 255
+    c[516:700] = c[516:700]  # noop
+    records.append(c)
+    c2 = np.full(800, 255, dtype=np.uint8)
+    c2[100:180] = rng.integers(0, 4, 80)
+    c2[200:260] = rng.integers(0, 4, 60)
+    c2[300:700] = rng.integers(0, 4, 400)
+    records.append(c2)
+    c3 = _random_codes(rng, 64)
+    records.append(c3)
+    e = _oracle_stream(records, k, w)
+    got = scan_records_hybrid(records, k, w)
+    for a, b in zip(got, e):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_build_uses_hybrid_and_matches_golden(ref_fixtures, fixture_paths, monkeypatch):
+    import numpy as np
+
+    from seqwin_tpu.graph import build
+
+    golden = np.load(ref_fixtures / 'expected' / 'graph.npz')
+    monkeypatch.setenv('SEQWIN_TPU_SCAN', 'hybrid')
+    kmers, nodes, edges, offsets, _ = build(
+        fixture_paths, 17, 10, [True, True, False, False],
+    )
+    np.testing.assert_array_equal(kmers, golden['kmers'])
+    np.testing.assert_array_equal(edges, golden['edges'])
+    for f in ('hash', 'start', 'stop', 'n_tar', 'n_neg'):
+        np.testing.assert_array_equal(nodes[f], golden['nodes'][f])
