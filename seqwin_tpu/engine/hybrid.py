@@ -21,6 +21,11 @@ stream (a sort). This module removes compaction entirely:
   valid-index order, so the emission decisions are unchanged
   (`/root/reference/cpp/vendor/btllib/minimizer.cpp:44-48` semantics).
 
+Host->device traffic per chunk is one byte per base (codes) plus a bool
+stream of record starts; record ordinals and in-record positions are
+reconstructed on device with i32 scans. All index math is 32-bit (chunks are
+< 2^31 bases).
+
 Differentially tested against both the sort-based `scan_core` and the NumPy
 oracle, including heavy-N and short-record cases.
 """
@@ -47,7 +52,7 @@ from .minimizer import (
 )
 
 _U64 = jnp.uint64
-i64 = jnp.int64
+i32 = jnp.int32
 
 
 def _u64(x: int):
@@ -55,32 +60,36 @@ def _u64(x: int):
 
 
 @functools.partial(jax.jit, static_argnames=('k', 'w', 'patch_cap'))
-def scan_phase1(codes, rec, base_pos, patch_idx, k: int, w: int, patch_cap: int):
-    """Device call 1: hashes + clean-window argmin + hash patch gather.
+def scan_phase1(codes, is_start, patch_idx, k: int, w: int, patch_cap: int):
+    """Device call 1: layout scans + hashes + clean-window argmin + patch gather.
 
     Args:
-        codes: uint8[N] base codes.
-        rec: int32[N] record ordinal per base (-1 on padding).
-        base_pos: int64[N] position-in-record per base.
+        codes: uint8[N] base codes (255 invalid/padding).
+        is_start: bool[N] record-start flags.
         patch_idx: int32[patch_cap] positions whose canonical hash the host
             needs for irregular windows (padded with 0).
 
     Returns:
-        (z_clean i64[N], oh u64[N], mh_patch u64[patch_cap])
+        (z_clean i32[N], oh u64[N], rec i32[N], base_pos i32[N],
+         mh_patch u64[patch_cap])
     """
     n = codes.shape[0]
-    iota = jnp.arange(n, dtype=i64)
+    iota = jnp.arange(n, dtype=i32)
 
-    im33 = (iota % 33).astype(jnp.int32)
-    im31 = (iota % 31).astype(jnp.int32)
+    rec = jnp.cumsum(is_start.astype(i32)) - 1
+    rec_start = jax.lax.cummax(jnp.where(is_start, iota, i32(0)))
+    base_pos = iota - rec_start
+
+    im33 = iota % 33
+    im31 = iota % 31
     neg33 = (33 - im33) % 33
     neg31 = (31 - im31) % 31
     a = _srol_parts(_select_seed(codes, SEEDS), neg33, neg31)
     b = _srol_parts(_select_seed(codes, SEEDS_COMP), im33, im31)
     wf = _window_xor(a, k)
     wr = _window_xor(b, k)
-    f33 = ((im33 + (k - 1)) % 33).astype(jnp.int32)
-    f31 = ((im31 + (k - 1)) % 31).astype(jnp.int32)
+    f33 = (im33 + (k - 1)) % 33
+    f31 = (im31 + (k - 1)) % 31
     fwd = _srol_parts(wf, f33, f31)
     rev = _srol_parts(wr, neg33, neg31)
     canon = fwd + rev
@@ -89,21 +98,21 @@ def scan_phase1(codes, rec, base_pos, patch_idx, k: int, w: int, patch_cap: int)
 
     invalid = codes > 3
     bad_win = _window_any(invalid, k)
-    rec_end = _shift_left(rec, k - 1, jnp.int32(-1))
-    valid = (~bad_win) & (rec == rec_end) & (iota <= i64(n - k)) & (rec >= 0)
+    rec_end = _shift_left(rec, k - 1, i32(-1))
+    valid = (~bad_win) & (rec == rec_end) & (iota <= i32(n - k)) & (rec >= 0)
 
     # clean window: last w positions are all valid k-mers
     invk_fwd = _window_any(~valid, w)  # OR over [p, p+w-1]
     has_invalid_back = _shift_right(invk_fwd, w - 1, jnp.asarray(True))
-    clean = valid & (iota >= i64(w - 1)) & (~has_invalid_back)
+    clean = valid & (iota >= i32(w - 1)) & (~has_invalid_back)
 
     # position-space two-block rightmost-argmin over width w
     mh = jnp.where(valid, canon, _u64(M64))
-    idx = jnp.where(valid, iota, i64(-1))
+    idx = jnp.where(valid, iota, i32(-1))
     pad = (-n) % w
     if pad:
         mh_p = jnp.concatenate([mh, jnp.full((pad,), _u64(M64))])
-        idx_p = jnp.concatenate([idx, jnp.full((pad,), i64(-1))])
+        idx_p = jnp.concatenate([idx, jnp.full((pad,), i32(-1))])
     else:
         mh_p, idx_p = mh, idx
     rows = (n + pad) // w
@@ -112,21 +121,21 @@ def scan_phase1(codes, rec, base_pos, patch_idx, k: int, w: int, patch_cap: int)
     s = 1
     while s < w:
         lm = jnp.concatenate([jnp.full((rows, s), _u64(M64)), pm[:, :-s]], axis=1)
-        li = jnp.concatenate([jnp.full((rows, s), i64(-1)), pi[:, :-s]], axis=1)
+        li = jnp.concatenate([jnp.full((rows, s), i32(-1)), pi[:, :-s]], axis=1)
         pm, pi = _combine_rmin(lm, li, pm, pi)
         rm = jnp.concatenate([sm[:, s:], jnp.full((rows, s), _u64(M64))], axis=1)
-        ri = jnp.concatenate([si[:, s:], jnp.full((rows, s), i64(-1))], axis=1)
+        ri = jnp.concatenate([si[:, s:], jnp.full((rows, s), i32(-1))], axis=1)
         sm, si = _combine_rmin(sm, si, rm, ri)
         s <<= 1
     p_mh = pm.reshape(-1)[:n]
     p_idx = pi.reshape(-1)[:n]
     t_mh = _shift_right(sm.reshape(-1), w - 1, _u64(M64))[:n]
-    t_idx = _shift_right(si.reshape(-1), w - 1, i64(-1))[:n]
+    t_idx = _shift_right(si.reshape(-1), w - 1, i32(-1))[:n]
     win_mh, win_idx = _combine_rmin(t_mh, t_idx, p_mh, p_idx)
 
-    z_clean = jnp.where(clean & (win_mh != _u64(M64)), win_idx, i64(-1))
-    mh_patch = canon[jnp.clip(patch_idx, 0, n - 1).astype(i64)]
-    return z_clean, oh, mh_patch
+    z_clean = jnp.where(clean & (win_mh != _u64(M64)), win_idx, i32(-1))
+    mh_patch = canon[jnp.clip(patch_idx, 0, n - 1)]
+    return z_clean, oh, rec, base_pos, mh_patch
 
 
 @functools.partial(jax.jit, static_argnames=('emit_cap',))
@@ -134,51 +143,48 @@ def scan_phase2(z_clean, oh, rec, base_pos, patch_pos, patch_z, emit_cap: int):
     """Device call 2: apply the irregular z-patch, run emission, gather output.
 
     Args:
-        z_clean, oh: phase-1 outputs (device-resident).
-        rec, base_pos: per-base record layout.
-        patch_pos: int64[P] positions of irregular windows (pad with n).
-        patch_z: i64[P] exact z for those windows (-1 allowed).
+        z_clean, oh, rec, base_pos: phase-1 outputs (device-resident).
+        patch_pos: int32[P] positions of irregular windows (pad with n).
+        patch_z: int32[P] exact z for those windows (-1 allowed).
     """
     n = z_clean.shape[0]
     z = z_clean.at[patch_pos].set(patch_z, mode='drop')
-    cmax_excl = _shift_right(jax.lax.cummax(z), 1, i64(-2))
+    cmax_excl = _shift_right(jax.lax.cummax(z), 1, i32(-2))
     emit_win = (z >= 0) & (z > cmax_excl)
-    count = jnp.sum(emit_win.astype(i64))
-    zz = jnp.where(emit_win, z, i64(-1))
+    count = jnp.sum(emit_win.astype(i32))
+    zz = jnp.where(emit_win, z, i32(-1))
     topv, _ = jax.lax.top_k(zz, emit_cap)
     asc = topv[::-1]
-    n_pad = emit_cap - jnp.minimum(count, i64(emit_cap))
+    n_pad = emit_cap - jnp.minimum(count, i32(emit_cap))
     eidx = jnp.roll(asc, -n_pad)
     safe = jnp.clip(eidx, 0, n - 1)
     live = eidx >= 0
     e_oh = jnp.where(live, oh[safe], _u64(0))
-    e_pos = jnp.where(live, base_pos[safe], i64(0))
-    e_rec = jnp.where(live, rec[safe], jnp.int32(-1))
-    return ScanResult(e_oh, e_pos.astype(jnp.uint32), e_rec, count)
+    e_pos = jnp.where(live, base_pos[safe], i32(0))
+    e_rec = jnp.where(live, rec[safe], i32(-1))
+    return ScanResult(e_oh, e_pos.astype(jnp.uint32), e_rec, count.astype(jnp.int64))
 
 
 def _host_layout(record_codes: list[np.ndarray], n: int):
-    """Concatenate records; per-base codes, record ordinal and position."""
+    """Concatenate records; per-base codes, record-start flags, record ids."""
     codes = np.full(n, 255, dtype=np.uint8)
+    is_start = np.zeros(n, dtype=bool)
     rec = np.full(n, -1, dtype=np.int32)
-    base_pos = np.zeros(n, dtype=np.int64)
     off = 0
-    lens = []
     for ri, c in enumerate(record_codes):
         L = len(c)
         codes[off:off + L] = c
+        is_start[off] = True
         rec[off:off + L] = ri
-        base_pos[off:off + L] = np.arange(L, dtype=np.int64)
         off += L
-        lens.append(L)
-    return codes, rec, base_pos, off
+    return codes, is_start, rec
 
 
 def _host_irregular(codes: np.ndarray, rec: np.ndarray, k: int, w: int):
     """Enumerate irregular windows and their members from codes alone.
 
     Returns:
-        (patch_fetch_idx int32[U], irr_pos int64[Q], members int64[Q, w])
+        (patch_fetch_idx int32[U], irr_pos int32[Q], members int64[Q, w])
         where members[q] are the flat positions of the w valid k-mers ending
         the window at irr_pos[q].
     """
@@ -197,15 +203,10 @@ def _host_irregular(codes: np.ndarray, rec: np.ndarray, k: int, w: int):
     invk = ~valid
     icnt = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(invk, out=icnt[1:])
-    # window [p-w+1, p] contains an invalid k-mer position?
-    has_inv = np.zeros(n, dtype=bool)
     lo = np.maximum(p - w + 1, 0)
     has_inv = (icnt[p + 1] - icnt[lo]) > 0
 
-    # rank of each valid k-mer within its record
-    g = np.cumsum(valid) - 1  # global valid rank at p (for valid p)
     V = np.flatnonzero(valid).astype(np.int64)
-    # rank-in-record: global rank minus rank at record start
     if len(V):
         v_rec = rec[V]
         rec_first = np.ones(len(V), dtype=bool)
@@ -215,11 +216,11 @@ def _host_irregular(codes: np.ndarray, rec: np.ndarray, k: int, w: int):
     else:
         rank_in_rec = np.zeros(0, dtype=np.int64)
 
-    irr_mask_v = (rank_in_rec >= w - 1)
+    irr_mask_v = rank_in_rec >= w - 1
     if len(V):
         irr_mask_v &= has_inv[V]
     irr_v = np.flatnonzero(irr_mask_v)
-    irr_pos = V[irr_v]
+    irr_pos = V[irr_v].astype(np.int32)
     if len(irr_v) == 0:
         return (np.zeros(0, np.int32), irr_pos, np.zeros((0, w), np.int64))
     members = V[irr_v[:, None] - (w - 1) + np.arange(w)[None, :]]
@@ -230,7 +231,7 @@ def _host_irregular(codes: np.ndarray, rec: np.ndarray, k: int, w: int):
 def _host_patch_z(mh_fetch: np.ndarray, fetch_idx: np.ndarray, members: np.ndarray):
     """Exact rightmost-argmin per irregular window from fetched hashes."""
     if members.size == 0:
-        return np.zeros(0, np.int64)
+        return np.zeros(0, np.int32)
     lookup = np.searchsorted(fetch_idx, members)
     mh = mh_fetch[lookup]  # [Q, w]
     rev = mh[:, ::-1]
@@ -239,7 +240,7 @@ def _host_patch_z(mh_fetch: np.ndarray, fetch_idx: np.ndarray, members: np.ndarr
     z = members[q, members.shape[1] - 1 - j]
     minval = rev[q, j]
     z = np.where(minval == np.uint64(0xFFFFFFFFFFFFFFFF), -1, z)
-    return z.astype(np.int64)
+    return z.astype(np.int32)
 
 
 def scan_records_hybrid(
@@ -254,32 +255,30 @@ def scan_records_hybrid(
     if total == 0 or not record_codes:
         return (np.zeros(0, np.uint64), np.zeros(0, np.uint32), np.zeros(0, np.int32))
     n = max(min_chunk, next_pow2(total))
-    codes, rec, base_pos, _ = _host_layout(record_codes, n)
+    codes, is_start, rec = _host_layout(record_codes, n)
 
     fetch_idx, irr_pos, members = _host_irregular(codes, rec, k, w)
     patch_cap = max(256, next_pow2(len(fetch_idx) or 1))
     patch_idx = np.zeros(patch_cap, dtype=np.int32)
     patch_idx[:len(fetch_idx)] = fetch_idx
 
-    z_clean, oh, mh_patch = scan_phase1(
-        jnp.asarray(codes), jnp.asarray(rec), jnp.asarray(base_pos),
-        jnp.asarray(patch_idx), k, w, patch_cap,
+    z_clean, oh, rec_d, base_pos_d, mh_patch = scan_phase1(
+        jnp.asarray(codes), jnp.asarray(is_start), jnp.asarray(patch_idx),
+        k, w, patch_cap,
     )
     mh_fetch = np.asarray(mh_patch)[:len(fetch_idx)]
     patch_z = _host_patch_z(mh_fetch, fetch_idx, members)
 
     pcap = max(256, next_pow2(len(irr_pos) or 1))
-    patch_pos_a = np.full(pcap, n, dtype=np.int64)
-    patch_z_a = np.full(pcap, -1, dtype=np.int64)
+    patch_pos_a = np.full(pcap, n, dtype=np.int32)
+    patch_z_a = np.full(pcap, -1, dtype=np.int32)
     patch_pos_a[:len(irr_pos)] = irr_pos
     patch_z_a[:len(irr_pos)] = patch_z
 
-    rec_j = jnp.asarray(rec)
-    base_pos_j = jnp.asarray(base_pos)
     emit_cap = max(1 << 12, next_pow2(4 * total // (w + 1) + 64))
     while True:
         res = scan_phase2(
-            z_clean, oh, rec_j, base_pos_j,
+            z_clean, oh, rec_d, base_pos_d,
             jnp.asarray(patch_pos_a), jnp.asarray(patch_z_a), emit_cap,
         )
         count = int(res.count)
