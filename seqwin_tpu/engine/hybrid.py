@@ -59,19 +59,16 @@ def _u64(x: int):
     return jnp.uint64(x)
 
 
-@functools.partial(jax.jit, static_argnames=('k', 'w', 'patch_cap'))
-def scan_phase1(codes, is_start, patch_idx, k: int, w: int, patch_cap: int):
-    """Device call 1: layout scans + hashes + clean-window argmin + patch gather.
+@functools.partial(jax.jit, static_argnames=('k', 'w'))
+def scan_phase1(codes, is_start, k: int, w: int):
+    """Device call 1: layout scans + hashes + clean-window argmin.
 
     Args:
         codes: uint8[N] base codes (255 invalid/padding).
         is_start: bool[N] record-start flags.
-        patch_idx: int32[patch_cap] positions whose canonical hash the host
-            needs for irregular windows (padded with 0).
 
     Returns:
-        (z_clean i32[N], oh u64[N], rec i32[N], base_pos i32[N],
-         mh_patch u64[patch_cap])
+        (z_clean i32[N], oh u64[N], rec i32[N], base_pos i32[N])
     """
     n = codes.shape[0]
     iota = jnp.arange(n, dtype=i32)
@@ -134,8 +131,7 @@ def scan_phase1(codes, is_start, patch_idx, k: int, w: int, patch_cap: int):
     win_mh, win_idx = _combine_rmin(t_mh, t_idx, p_mh, p_idx)
 
     z_clean = jnp.where(clean & (win_mh != _u64(M64)), win_idx, i32(-1))
-    mh_patch = canon[jnp.clip(patch_idx, 0, n - 1)]
-    return z_clean, oh, rec, base_pos, mh_patch
+    return z_clean, oh, rec, base_pos
 
 
 @functools.partial(jax.jit, static_argnames=('emit_cap',))
@@ -184,9 +180,8 @@ def _host_irregular(codes: np.ndarray, rec: np.ndarray, k: int, w: int):
     """Enumerate irregular windows and their members from codes alone.
 
     Returns:
-        (patch_fetch_idx int32[U], irr_pos int32[Q], members int64[Q, w])
-        where members[q] are the flat positions of the w valid k-mers ending
-        the window at irr_pos[q].
+        (irr_pos int32[Q], members int64[Q, w]) where members[q] are the flat
+        positions of the w valid k-mers ending the window at irr_pos[q].
     """
     n = len(codes)
     invb = codes > 3
@@ -222,22 +217,24 @@ def _host_irregular(codes: np.ndarray, rec: np.ndarray, k: int, w: int):
     irr_v = np.flatnonzero(irr_mask_v)
     irr_pos = V[irr_v].astype(np.int32)
     if len(irr_v) == 0:
-        return (np.zeros(0, np.int32), irr_pos, np.zeros((0, w), np.int64))
+        return (irr_pos, np.zeros((0, w), np.int64))
     members = V[irr_v[:, None] - (w - 1) + np.arange(w)[None, :]]
-    fetch = np.unique(members)
-    return fetch.astype(np.int32), irr_pos, members
+    return irr_pos, members
 
 
-def _host_patch_z(mh_fetch: np.ndarray, fetch_idx: np.ndarray, members: np.ndarray):
-    """Exact rightmost-argmin per irregular window from fetched hashes."""
+def _host_patch_z(codes: np.ndarray, members: np.ndarray, k: int):
+    """Exact rightmost-argmin per irregular window; hashes computed on host
+    (`ops/host_hash.py`), no device round-trip."""
     if members.size == 0:
         return np.zeros(0, np.int32)
-    lookup = np.searchsorted(fetch_idx, members)
-    mh = mh_fetch[lookup]  # [Q, w]
+    from ..ops.host_hash import canon_at
+
+    w = members.shape[1]
+    mh = canon_at(codes, members.ravel(), k).reshape(-1, w)
     rev = mh[:, ::-1]
     j = np.argmin(rev, axis=1)  # first min in reversed = rightmost min
     q = np.arange(len(members))
-    z = members[q, members.shape[1] - 1 - j]
+    z = members[q, w - 1 - j]
     minval = rev[q, j]
     z = np.where(minval == np.uint64(0xFFFFFFFFFFFFFFFF), -1, z)
     return z.astype(np.int32)
@@ -257,17 +254,12 @@ def scan_records_hybrid(
     n = max(min_chunk, next_pow2(total))
     codes, is_start, rec = _host_layout(record_codes, n)
 
-    fetch_idx, irr_pos, members = _host_irregular(codes, rec, k, w)
-    patch_cap = max(256, next_pow2(len(fetch_idx) or 1))
-    patch_idx = np.zeros(patch_cap, dtype=np.int32)
-    patch_idx[:len(fetch_idx)] = fetch_idx
+    irr_pos, members = _host_irregular(codes, rec, k, w)
+    patch_z = _host_patch_z(codes, members, k)
 
-    z_clean, oh, rec_d, base_pos_d, mh_patch = scan_phase1(
-        jnp.asarray(codes), jnp.asarray(is_start), jnp.asarray(patch_idx),
-        k, w, patch_cap,
+    z_clean, oh, rec_d, base_pos_d = scan_phase1(
+        jnp.asarray(codes), jnp.asarray(is_start), k, w,
     )
-    mh_fetch = np.asarray(mh_patch)[:len(fetch_idx)]
-    patch_z = _host_patch_z(mh_fetch, fetch_idx, members)
 
     pcap = max(256, next_pow2(len(irr_pos) or 1))
     patch_pos_a = np.full(pcap, n, dtype=np.int32)

@@ -1,0 +1,47 @@
+"""Vectorized host-side ntHash for sparse position sets.
+
+Computes canonical hashes for arbitrary k-mer positions with NumPy table
+lookups -- used by the hybrid scan to resolve irregular windows without a
+device round-trip. Exact u64 arithmetic:
+
+    canon(p) = (XOR_j srol^{k-1-j}(SEED[s_{p+j}])  +
+                XOR_j srol^{j}(SEED_COMP[s_{p+j}])) mod 2^64
+
+The per-offset rotated seed tables (k x 5 u64) make this two (Q, k) gathers
+plus XOR-reductions.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import SEEDS, SEEDS_COMP, srol
+
+_table_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _tables(k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(fwd[k, 5], rev[k, 5]) rotated seed tables; column 4 = invalid (0)."""
+    cached = _table_cache.get(k)
+    if cached is not None:
+        return cached
+    fwd = np.zeros((k, 5), dtype=np.uint64)
+    rev = np.zeros((k, 5), dtype=np.uint64)
+    for j in range(k):
+        for c in range(4):
+            fwd[j, c] = srol(SEEDS[c], (k - 1 - j) % 1023)
+            rev[j, c] = srol(SEEDS_COMP[c], j % 1023)
+    _table_cache[k] = (fwd, rev)
+    return fwd, rev
+
+
+def canon_at(codes: np.ndarray, positions: np.ndarray, k: int) -> np.ndarray:
+    """Canonical ntHash of the k-mers starting at ``positions`` (all of which
+    must be valid, i.e. k in-bounds ACGT bases)."""
+    if len(positions) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    fwd_tab, rev_tab = _tables(k)
+    offs = positions[:, None].astype(np.int64) + np.arange(k, dtype=np.int64)[None, :]
+    c = np.minimum(codes[offs], 4).astype(np.int64)  # 255 -> clamp to col 4
+    fwd = np.bitwise_xor.reduce(fwd_tab[np.arange(k)[None, :], c], axis=1)
+    rev = np.bitwise_xor.reduce(rev_tab[np.arange(k)[None, :], c], axis=1)
+    return fwd + rev  # u64 wraps
