@@ -60,12 +60,12 @@ def _u64(x: int):
 
 
 @functools.partial(jax.jit, static_argnames=('k', 'w'))
-def scan_phase1(codes, is_start, k: int, w: int):
+def scan_phase1(codes, starts, k: int, w: int):
     """Device call 1: layout scans + hashes + clean-window argmin.
 
     Args:
         codes: uint8[N] base codes (255 invalid/padding).
-        is_start: bool[N] record-start flags.
+        starts: int32[S] record start offsets (padded with N; must include 0).
 
     Returns:
         (z_clean i32[N], oh u64[N], rec i32[N], base_pos i32[N])
@@ -73,6 +73,7 @@ def scan_phase1(codes, is_start, k: int, w: int):
     n = codes.shape[0]
     iota = jnp.arange(n, dtype=i32)
 
+    is_start = jnp.zeros((n,), dtype=bool).at[starts].set(True, mode='drop')
     rec = jnp.cumsum(is_start.astype(i32)) - 1
     rec_start = jax.lax.cummax(jnp.where(is_start, iota, i32(0)))
     base_pos = iota - rec_start
@@ -162,18 +163,18 @@ def scan_phase2(z_clean, oh, rec, base_pos, patch_pos, patch_z, emit_cap: int):
 
 
 def _host_layout(record_codes: list[np.ndarray], n: int):
-    """Concatenate records; per-base codes, record-start flags, record ids."""
+    """Concatenate records; per-base codes, record-start offsets, record ids."""
     codes = np.full(n, 255, dtype=np.uint8)
-    is_start = np.zeros(n, dtype=bool)
+    starts = np.zeros(len(record_codes), dtype=np.int32)
     rec = np.full(n, -1, dtype=np.int32)
     off = 0
     for ri, c in enumerate(record_codes):
         L = len(c)
         codes[off:off + L] = c
-        is_start[off] = True
+        starts[ri] = off
         rec[off:off + L] = ri
         off += L
-    return codes, is_start, rec
+    return codes, starts, rec
 
 
 def _host_irregular(codes: np.ndarray, rec: np.ndarray, k: int, w: int):
@@ -252,13 +253,16 @@ def scan_records_hybrid(
     if total == 0 or not record_codes:
         return (np.zeros(0, np.uint64), np.zeros(0, np.uint32), np.zeros(0, np.int32))
     n = max(min_chunk, next_pow2(total))
-    codes, is_start, rec = _host_layout(record_codes, n)
+    codes, starts, rec = _host_layout(record_codes, n)
 
     irr_pos, members = _host_irregular(codes, rec, k, w)
     patch_z = _host_patch_z(codes, members, k)
 
+    scap = max(64, next_pow2(len(starts)))
+    starts_a = np.full(scap, n, dtype=np.int32)
+    starts_a[:len(starts)] = starts
     z_clean, oh, rec_d, base_pos_d = scan_phase1(
-        jnp.asarray(codes), jnp.asarray(is_start), k, w,
+        jnp.asarray(codes), jnp.asarray(starts_a), k, w,
     )
 
     pcap = max(256, next_pow2(len(irr_pos) or 1))
@@ -267,7 +271,7 @@ def scan_records_hybrid(
     patch_pos_a[:len(irr_pos)] = irr_pos
     patch_z_a[:len(irr_pos)] = patch_z
 
-    emit_cap = max(1 << 12, next_pow2(4 * total // (w + 1) + 64))
+    emit_cap = max(1 << 12, next_pow2(int(2.5 * total / (w + 1)) + 64))
     while True:
         res = scan_phase2(
             z_clean, oh, rec_d, base_pos_d,

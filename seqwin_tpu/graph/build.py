@@ -31,7 +31,7 @@ U32_MAX = (1 << 32) - 1
 
 # Max bases per device scan call; chunks are padded to a power of two, so this
 # also bounds the number of distinct compiled shapes.
-DEFAULT_CHUNK_BASES = 1 << 24
+DEFAULT_CHUNK_BASES = 1 << 25
 LOW_MEMORY_CHUNK_BASES = 1 << 22
 
 
