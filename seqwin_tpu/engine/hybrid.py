@@ -2,8 +2,8 @@
 patched by the host.
 
 Motivation (measured on TPU v5e at 16M elements): XLA scatter ~2s, variadic
-stable sort ~200ms, elementwise/scan stages ~50ms. The exact semantics need
-windows over *valid* k-mers, which naively requires compacting the valid
+stable sort ~200ms, elementwise/scan stages ~30-50ms. The exact semantics
+need windows over *valid* k-mers, which naively requires compacting the valid
 stream (a sort). This module removes compaction entirely:
 
 - A window ending at valid k-mer position ``p`` whose last ``w`` *positions*
@@ -13,18 +13,20 @@ stream (a sort). This module removes compaction entirely:
 - Windows whose span contains an invalid k-mer position (``N`` runs, record
   junctions, record heads) are **irregular**. Their locations depend only on
   the base codes and record layout -- both host-known -- so the host
-  enumerates them, asks the device for the ~1e5 hash values involved (one
-  small gather), computes the exact rightmost-argmin per irregular window
-  with NumPy, and sends back a z-patch (a small scatter).
-- Emission is the usual prefix-max over z, with z now being the *flat
-  position* of the window minimum: positions are strictly increasing in
-  valid-index order, so the emission decisions are unchanged
-  (`/root/reference/cpp/vendor/btllib/minimizer.cpp:44-48` semantics).
+  enumerates them, computes their canonical hashes itself (vectorized table
+  ntHash, `ops/host_hash.py`), resolves the exact rightmost-argmin per
+  window, and ships a sparse z-patch to the device.
+- Emission is the usual prefix-max over z, with z being the *flat position*
+  of the window minimum: positions are strictly increasing in valid-index
+  order, so the emission decisions match the reference exactly
+  (`/root/reference/cpp/vendor/btllib/minimizer.cpp:44-48`).
 
-Host->device traffic per chunk is one byte per base (codes) plus a bool
-stream of record starts; record ordinals and in-record positions are
-reconstructed on device with i32 scans. All index math is 32-bit (chunks are
-< 2^31 bases).
+Division of labor (keeps the device path lean):
+- device: hashes, validity masks, window argmin, emission scan, extraction --
+  elementwise/scan/top_k only; outputs emitted flat positions + their
+  canonical hashes.
+- host: record layout, irregular windows, final (record, position) mapping
+  via searchsorted over record starts, and the cheap derived second hash.
 
 Differentially tested against both the sort-based `scan_core` and the NumPy
 oracle, including heavy-N and short-record cases.
@@ -40,10 +42,8 @@ import jax.numpy as jnp
 
 from ..ops.hashing import M64, MULTISHIFT, SEEDS, SEEDS_COMP, out_hash_mult
 from .minimizer import (
-    ScanResult,
     _combine_rmin,
     _select_seed,
-    _shift_left,
     _shift_right,
     _srol_parts,
     _window_any,
@@ -61,22 +61,17 @@ def _u64(x: int):
 
 @functools.partial(jax.jit, static_argnames=('k', 'w'))
 def scan_phase1(codes, starts, k: int, w: int):
-    """Device call 1: layout scans + hashes + clean-window argmin.
+    """Device call 1: hashes + validity + clean-window argmin.
 
     Args:
         codes: uint8[N] base codes (255 invalid/padding).
         starts: int32[S] record start offsets (padded with N; must include 0).
 
     Returns:
-        (z_clean i32[N], oh u64[N], rec i32[N], base_pos i32[N])
+        (z_clean i32[N], canon u64[N])
     """
     n = codes.shape[0]
     iota = jnp.arange(n, dtype=i32)
-
-    is_start = jnp.zeros((n,), dtype=bool).at[starts].set(True, mode='drop')
-    rec = jnp.cumsum(is_start.astype(i32)) - 1
-    rec_start = jax.lax.cummax(jnp.where(is_start, iota, i32(0)))
-    base_pos = iota - rec_start
 
     im33 = iota % 33
     im31 = iota % 31
@@ -91,13 +86,18 @@ def scan_phase1(codes, starts, k: int, w: int):
     fwd = _srol_parts(wf, f33, f31)
     rev = _srol_parts(wr, neg33, neg31)
     canon = fwd + rev
-    t = canon * _u64(out_hash_mult(k))
-    oh = t ^ (t >> _u64(MULTISHIFT))
 
+    # validity without any per-base record scan: a k-mer is invalid iff its
+    # window contains a non-ACGT base, or a record START strictly inside it
+    # (cross-record window), or it runs past the buffer.
     invalid = codes > 3
-    bad_win = _window_any(invalid, k)
-    rec_end = _shift_left(rec, k - 1, i32(-1))
-    valid = (~bad_win) & (rec == rec_end) & (iota <= i32(n - k)) & (rec >= 0)
+    is_start = jnp.zeros((n,), dtype=bool).at[starts].set(True, mode='drop')
+    bad_base = _window_any(invalid, k)
+    start_inside = (
+        _window_any(jnp.concatenate([is_start[1:], jnp.asarray([False])]), k - 1)
+        if k > 1 else jnp.zeros((n,), dtype=bool)
+    )
+    valid = (~bad_base) & (~start_inside) & (iota <= i32(n - k))
 
     # clean window: last w positions are all valid k-mers
     invk_fwd = _window_any(~valid, w)  # OR over [p, p+w-1]
@@ -132,17 +132,16 @@ def scan_phase1(codes, starts, k: int, w: int):
     win_mh, win_idx = _combine_rmin(t_mh, t_idx, p_mh, p_idx)
 
     z_clean = jnp.where(clean & (win_mh != _u64(M64)), win_idx, i32(-1))
-    return z_clean, oh, rec, base_pos
+    return z_clean, canon
 
 
 @functools.partial(jax.jit, static_argnames=('emit_cap',))
-def scan_phase2(z_clean, oh, rec, base_pos, patch_pos, patch_z, emit_cap: int):
-    """Device call 2: apply the irregular z-patch, run emission, gather output.
+def scan_phase2(z_clean, canon, patch_pos, patch_z, emit_cap: int):
+    """Device call 2: z-patch, emission prefix-max, top_k extraction.
 
-    Args:
-        z_clean, oh, rec, base_pos: phase-1 outputs (device-resident).
-        patch_pos: int32[P] positions of irregular windows (pad with n).
-        patch_z: int32[P] exact z for those windows (-1 allowed).
+    Returns:
+        (eidx i32[emit_cap] ascending flat positions, -1 padded at the end;
+         e_canon u64[emit_cap]; count i32)
     """
     n = z_clean.shape[0]
     z = z_clean.at[patch_pos].set(patch_z, mode='drop')
@@ -155,47 +154,52 @@ def scan_phase2(z_clean, oh, rec, base_pos, patch_pos, patch_z, emit_cap: int):
     n_pad = emit_cap - jnp.minimum(count, i32(emit_cap))
     eidx = jnp.roll(asc, -n_pad)
     safe = jnp.clip(eidx, 0, n - 1)
-    live = eidx >= 0
-    e_oh = jnp.where(live, oh[safe], _u64(0))
-    e_pos = jnp.where(live, base_pos[safe], i32(0))
-    e_rec = jnp.where(live, rec[safe], i32(-1))
-    return ScanResult(e_oh, e_pos.astype(jnp.uint32), e_rec, count.astype(jnp.int64))
+    e_canon = jnp.where(eidx >= 0, canon[safe], _u64(0))
+    return eidx, e_canon, count
 
 
 def _host_layout(record_codes: list[np.ndarray], n: int):
     """Concatenate records; per-base codes, record-start offsets, record ids."""
     codes = np.full(n, 255, dtype=np.uint8)
-    starts = np.zeros(len(record_codes), dtype=np.int32)
-    rec = np.full(n, -1, dtype=np.int32)
+    starts = np.zeros(len(record_codes), dtype=np.int64)
     off = 0
     for ri, c in enumerate(record_codes):
         L = len(c)
         codes[off:off + L] = c
         starts[ri] = off
-        rec[off:off + L] = ri
         off += L
-    return codes, starts, rec
+    return codes, starts
 
 
-def _host_irregular(codes: np.ndarray, rec: np.ndarray, k: int, w: int):
+def _host_valid(codes: np.ndarray, starts: np.ndarray, k: int, n: int):
+    """Valid-k-mer mask (host replica of the device's validity logic)."""
+    invb = codes > 3
+    cnt = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(invb, out=cnt[1:])
+    p = np.arange(n, dtype=np.int64)
+    bad = np.zeros(n, dtype=bool)
+    bad[:n - k + 1] = (cnt[k:] - cnt[:n - k + 1]) > 0
+    bad[n - k + 1:] = True
+    is_start = np.zeros(n + 1, dtype=np.int64)
+    for s in starts:
+        is_start[s + 1] = 1  # record start strictly inside window (offset >= 1)
+    scnt = np.cumsum(is_start)
+    cross = np.zeros(n, dtype=bool)
+    if k > 1:
+        cross[:n - k + 1] = (scnt[np.minimum(p[:n - k + 1] + k, n)] - scnt[p[:n - k + 1] + 1]) > 0
+    valid = (~bad) & (~cross) & (p <= n - k)
+    return valid
+
+
+def _host_irregular(codes: np.ndarray, starts: np.ndarray, k: int, w: int, n: int):
     """Enumerate irregular windows and their members from codes alone.
 
     Returns:
         (irr_pos int32[Q], members int64[Q, w]) where members[q] are the flat
         positions of the w valid k-mers ending the window at irr_pos[q].
     """
-    n = len(codes)
-    invb = codes > 3
-    cnt = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(invb, out=cnt[1:])
+    valid = _host_valid(codes, starts, k, n)
     p = np.arange(n, dtype=np.int64)
-    in_range = p <= n - k
-    bad_win = np.zeros(n, dtype=bool)
-    bad_win[:n - k + 1] = (cnt[k:] - cnt[:n - k + 1]) > 0
-    rec_end = np.full(n, -1, dtype=np.int32)
-    rec_end[:n - k + 1] = rec[k - 1:]
-    valid = (~bad_win) & (rec == rec_end) & in_range & (rec >= 0)
-
     invk = ~valid
     icnt = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(invk, out=icnt[1:])
@@ -203,22 +207,20 @@ def _host_irregular(codes: np.ndarray, rec: np.ndarray, k: int, w: int):
     has_inv = (icnt[p + 1] - icnt[lo]) > 0
 
     V = np.flatnonzero(valid).astype(np.int64)
-    if len(V):
-        v_rec = rec[V]
-        rec_first = np.ones(len(V), dtype=bool)
-        rec_first[1:] = v_rec[1:] != v_rec[:-1]
-        rec_start_rank = np.maximum.accumulate(np.where(rec_first, np.arange(len(V)), 0))
-        rank_in_rec = np.arange(len(V)) - rec_start_rank
-    else:
-        rank_in_rec = np.zeros(0, dtype=np.int64)
+    if len(V) == 0:
+        return np.zeros(0, np.int32), np.zeros((0, w), np.int64)
+    # record ordinal of each valid k-mer (record = index of last start <= pos)
+    v_rec = np.searchsorted(np.sort(starts), V, side='right')
+    rec_first = np.ones(len(V), dtype=bool)
+    rec_first[1:] = v_rec[1:] != v_rec[:-1]
+    rec_start_rank = np.maximum.accumulate(np.where(rec_first, np.arange(len(V)), 0))
+    rank_in_rec = np.arange(len(V)) - rec_start_rank
 
-    irr_mask_v = rank_in_rec >= w - 1
-    if len(V):
-        irr_mask_v &= has_inv[V]
+    irr_mask_v = (rank_in_rec >= w - 1) & has_inv[V]
     irr_v = np.flatnonzero(irr_mask_v)
     irr_pos = V[irr_v].astype(np.int32)
     if len(irr_v) == 0:
-        return (irr_pos, np.zeros((0, w), np.int64))
+        return irr_pos, np.zeros((0, w), np.int64)
     members = V[irr_v[:, None] - (w - 1) + np.arange(w)[None, :]]
     return irr_pos, members
 
@@ -253,17 +255,15 @@ def scan_records_hybrid(
     if total == 0 or not record_codes:
         return (np.zeros(0, np.uint64), np.zeros(0, np.uint32), np.zeros(0, np.int32))
     n = max(min_chunk, next_pow2(total))
-    codes, starts, rec = _host_layout(record_codes, n)
+    codes, starts = _host_layout(record_codes, n)
 
-    irr_pos, members = _host_irregular(codes, rec, k, w)
+    irr_pos, members = _host_irregular(codes, starts, k, w, n)
     patch_z = _host_patch_z(codes, members, k)
 
     scap = max(64, next_pow2(len(starts)))
     starts_a = np.full(scap, n, dtype=np.int32)
     starts_a[:len(starts)] = starts
-    z_clean, oh, rec_d, base_pos_d = scan_phase1(
-        jnp.asarray(codes), jnp.asarray(starts_a), k, w,
-    )
+    z_clean, canon = scan_phase1(jnp.asarray(codes), jnp.asarray(starts_a), k, w)
 
     pcap = max(256, next_pow2(len(irr_pos) or 1))
     patch_pos_a = np.full(pcap, n, dtype=np.int32)
@@ -273,15 +273,19 @@ def scan_records_hybrid(
 
     emit_cap = max(1 << 12, next_pow2(int(2.5 * total / (w + 1)) + 64))
     while True:
-        res = scan_phase2(
-            z_clean, oh, rec_d, base_pos_d,
-            jnp.asarray(patch_pos_a), jnp.asarray(patch_z_a), emit_cap,
+        eidx, e_canon, count = scan_phase2(
+            z_clean, canon, jnp.asarray(patch_pos_a), jnp.asarray(patch_z_a), emit_cap,
         )
-        count = int(res.count)
+        count = int(count)
         if count <= emit_cap:
-            return (
-                np.asarray(res.out_hash[:count]),
-                np.asarray(res.pos[:count]),
-                np.asarray(res.rec[:count]),
-            )
+            break
         emit_cap = next_pow2(count)
+
+    eidx = np.asarray(eidx[:count]).astype(np.int64)
+    e_canon = np.asarray(e_canon[:count])
+    # host: flat position -> (record, in-record position); derived second hash
+    rec = (np.searchsorted(starts, eidx, side='right') - 1).astype(np.int32)
+    pos = (eidx - starts[rec]).astype(np.uint32)
+    t = e_canon * np.uint64(out_hash_mult(k))
+    oh = t ^ (t >> np.uint64(MULTISHIFT))
+    return oh, pos, rec
