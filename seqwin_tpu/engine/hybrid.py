@@ -99,10 +99,14 @@ def scan_phase1(codes, starts, k: int, w: int):
     )
     valid = (~bad_base) & (~start_inside) & (iota <= i32(n - k))
 
-    # clean window: last w positions are all valid k-mers
-    invk_fwd = _window_any(~valid, w)  # OR over [p, p+w-1]
-    has_invalid_back = _shift_right(invk_fwd, w - 1, jnp.asarray(True))
-    clean = valid & (iota >= i32(w - 1)) & (~has_invalid_back)
+    # clean window: last w positions are all valid k-mers and contain no
+    # record start (the start check matters only for k == 1, where junction
+    # k-mers are not invalid; for k >= 2 it is implied but kept for a uniform
+    # host/device blocker definition).
+    blocker = (~valid) | is_start
+    blk_fwd = _window_any(blocker, w)  # OR over [p, p+w-1]
+    has_blocker_back = _shift_right(blk_fwd, w - 1, jnp.asarray(True))
+    clean = valid & (iota >= i32(w - 1)) & (~has_blocker_back)
 
     # position-space two-block rightmost-argmin over width w
     mh = jnp.where(valid, canon, _u64(M64))
@@ -171,58 +175,133 @@ def _host_layout(record_codes: list[np.ndarray], n: int):
     return codes, starts
 
 
-def _host_valid(codes: np.ndarray, starts: np.ndarray, k: int, n: int):
-    """Valid-k-mer mask (host replica of the device's validity logic)."""
-    invb = codes > 3
-    cnt = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(invb, out=cnt[1:])
-    p = np.arange(n, dtype=np.int64)
-    bad = np.zeros(n, dtype=bool)
-    bad[:n - k + 1] = (cnt[k:] - cnt[:n - k + 1]) > 0
-    bad[n - k + 1:] = True
-    is_start = np.zeros(n + 1, dtype=np.int64)
-    for s in starts:
-        is_start[s + 1] = 1  # record start strictly inside window (offset >= 1)
-    scnt = np.cumsum(is_start)
-    cross = np.zeros(n, dtype=bool)
-    if k > 1:
-        cross[:n - k + 1] = (scnt[np.minimum(p[:n - k + 1] + k, n)] - scnt[p[:n - k + 1] + 1]) > 0
-    valid = (~bad) & (~cross) & (p <= n - k)
-    return valid
+def _merge_intervals(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Merge overlapping/adjacent inclusive intervals."""
+    if len(a) == 0:
+        return a, b
+    order = np.argsort(a, kind='stable')
+    a, b = a[order], b[order]
+    b_run = np.maximum.accumulate(b)
+    new = np.ones(len(a), dtype=bool)
+    new[1:] = a[1:] > b_run[:-1] + 1
+    starts_i = np.flatnonzero(new)
+    ends_i = np.append(starts_i[1:], len(a)) - 1
+    return a[starts_i], b_run[ends_i]
 
 
-def _host_irregular(codes: np.ndarray, starts: np.ndarray, k: int, w: int, n: int):
-    """Enumerate irregular windows and their members from codes alone.
+class _SparseValidity:
+    """Interval view of the invalid-k-mer set of one chunk.
+
+    Built in O(#invalid-bases + #records); answers validity, rank, and
+    rank->position queries with binary searches over merged intervals.
+    The k-mer domain is [0, total - k].
+    """
+
+    def __init__(self, codes: np.ndarray, starts: np.ndarray, k: int, total: int):
+        self.k = k
+        self.total = total
+        self.last = total - k  # inclusive k-mer domain end (may be < 0)
+        inv = np.flatnonzero(codes[:total] > 3).astype(np.int64)
+        a_parts = [np.maximum(inv - k + 1, 0)]
+        b_parts = [np.minimum(inv, max(self.last, 0))]
+        if k > 1 and len(starts) > 1:
+            s = np.asarray(starts[1:], dtype=np.int64)
+            a_parts.append(np.maximum(s - k + 1, 0))
+            b_parts.append(np.minimum(s - 1, max(self.last, 0)))
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
+        keep = a <= b
+        self.A, self.B = _merge_intervals(a[keep], b[keep])
+        lens = self.B - self.A + 1
+        self.cumlen = np.concatenate(([0], np.cumsum(lens)))
+
+    def invalid_leq(self, x) -> np.ndarray:
+        """#invalid k-mer positions <= x (vectorized)."""
+        x = np.minimum(np.asarray(x, dtype=np.int64), self.last)
+        if len(self.A) == 0:
+            return np.zeros_like(x)
+        j = np.searchsorted(self.A, x, side='right') - 1
+        jc = np.maximum(j, 0)
+        partial = np.clip(np.minimum(x, self.B[jc]) - self.A[jc] + 1, 0, None)
+        out = np.where(j >= 0, self.cumlen[jc] + partial, 0)
+        return np.where(x < 0, 0, out)
+
+    def is_valid(self, pos: np.ndarray) -> np.ndarray:
+        pos = np.asarray(pos, dtype=np.int64)
+        ok = (pos >= 0) & (pos <= self.last)
+        if len(self.A) == 0:
+            return ok
+        j = np.searchsorted(self.A, pos, side='right') - 1
+        jc = np.maximum(j, 0)
+        in_iv = (j >= 0) & (pos <= self.B[jc])
+        return ok & ~in_iv
+
+    def rank(self, pos) -> np.ndarray:
+        """Global valid rank (0-based) of a valid k-mer position."""
+        pos = np.asarray(pos, dtype=np.int64)
+        return pos - self.invalid_leq(pos)
+
+    def pos_of_rank(self, q) -> np.ndarray:
+        """Position of the q-th (0-based) valid k-mer."""
+        q = np.asarray(q, dtype=np.int64)
+        if len(self.A) == 0:
+            return q
+        # gap g starts at B[g-1]+1 (gap 0 starts at 0); valid count before it
+        gap_start = np.concatenate(([0], self.B + 1))
+        valid_before = gap_start - np.concatenate(([0], self.cumlen[1:]))
+        g = np.searchsorted(valid_before, q, side='right') - 1
+        return gap_start[g] + (q - valid_before[g])
+
+
+def _host_irregular(codes: np.ndarray, starts: np.ndarray, k: int, w: int, n: int,
+                    total: int | None = None):
+    """Enumerate irregular windows and their members, sparsely.
+
+    A window ending at valid k-mer ``p`` (with >= w valid k-mers so far in its
+    record) is irregular iff a *blocker* -- an invalid k-mer position or a
+    record start -- lies in [p-w+1, p]. Candidates are enumerated per merged
+    blocker interval, so the cost is O(#blockers * w), independent of N.
+    The blocker definition mirrors `scan_phase1`'s ``clean`` mask exactly.
 
     Returns:
-        (irr_pos int32[Q], members int64[Q, w]) where members[q] are the flat
-        positions of the w valid k-mers ending the window at irr_pos[q].
+        (irr_pos int32[Q], members int64[Q, w]).
     """
-    valid = _host_valid(codes, starts, k, n)
-    p = np.arange(n, dtype=np.int64)
-    invk = ~valid
-    icnt = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(invk, out=icnt[1:])
-    lo = np.maximum(p - w + 1, 0)
-    has_inv = (icnt[p + 1] - icnt[lo]) > 0
-
-    V = np.flatnonzero(valid).astype(np.int64)
-    if len(V) == 0:
+    if total is None:
+        total = n
+    sv = _SparseValidity(codes, starts, k, total)
+    if sv.last < 0:
         return np.zeros(0, np.int32), np.zeros((0, w), np.int64)
-    # record ordinal of each valid k-mer (record = index of last start <= pos)
-    v_rec = np.searchsorted(np.sort(starts), V, side='right')
-    rec_first = np.ones(len(V), dtype=bool)
-    rec_first[1:] = v_rec[1:] != v_rec[:-1]
-    rec_start_rank = np.maximum.accumulate(np.where(rec_first, np.arange(len(V)), 0))
-    rank_in_rec = np.arange(len(V)) - rec_start_rank
+    starts64 = np.asarray(starts, dtype=np.int64)
 
-    irr_mask_v = (rank_in_rec >= w - 1) & has_inv[V]
-    irr_v = np.flatnonzero(irr_mask_v)
-    irr_pos = V[irr_v].astype(np.int32)
-    if len(irr_v) == 0:
-        return irr_pos, np.zeros((0, w), np.int64)
-    members = V[irr_v[:, None] - (w - 1) + np.arange(w)[None, :]]
-    return irr_pos, members
+    # blocker intervals = invalid k-mer intervals + [s, s] per record start
+    blk_a = np.concatenate([sv.A, starts64])
+    blk_b = np.concatenate([sv.B, np.minimum(starts64, sv.last)])
+    keep = blk_a <= blk_b
+    blk_a, blk_b = _merge_intervals(blk_a[keep], blk_b[keep])
+
+    cand_list = [
+        np.arange(a, min(b + w - 1, sv.last) + 1, dtype=np.int64)
+        for a, b in zip(blk_a, blk_b)
+    ]
+    if not cand_list:
+        return np.zeros(0, np.int32), np.zeros((0, w), np.int64)
+    cand = np.unique(np.concatenate(cand_list))
+    cand = cand[sv.is_valid(cand)]
+    if len(cand) == 0:
+        return np.zeros(0, np.int32), np.zeros((0, w), np.int64)
+
+    # rank within record = global rank - valid count before the record start
+    c_rec = np.searchsorted(starts64, cand, side='right') - 1
+    rec_start = starts64[c_rec]
+    vb = rec_start - sv.invalid_leq(rec_start - 1)
+    rank_in_rec = sv.rank(cand) - vb
+    sel = rank_in_rec >= w - 1
+    irr_pos = cand[sel]
+    if len(irr_pos) == 0:
+        return np.zeros(0, np.int32), np.zeros((0, w), np.int64)
+    member_ranks = sv.rank(irr_pos)[:, None] - (w - 1) + np.arange(w)[None, :]
+    members = sv.pos_of_rank(member_ranks)
+    return irr_pos.astype(np.int32), members
 
 
 def _host_patch_z(codes: np.ndarray, members: np.ndarray, k: int):
@@ -257,7 +336,7 @@ def scan_records_hybrid(
     n = max(min_chunk, next_pow2(total))
     codes, starts = _host_layout(record_codes, n)
 
-    irr_pos, members = _host_irregular(codes, starts, k, w, n)
+    irr_pos, members = _host_irregular(codes, starts, k, w, n, total=total)
     patch_z = _host_patch_z(codes, members, k)
 
     scap = max(64, next_pow2(len(starts)))

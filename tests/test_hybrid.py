@@ -34,7 +34,7 @@ def _oracle_stream(records, k, w):
     )
 
 
-@pytest.mark.parametrize('k,w', [(7, 10), (17, 10), (21, 200), (4, 3), (8, 1), (5, 64)])
+@pytest.mark.parametrize('k,w', [(7, 10), (17, 10), (21, 200), (4, 3), (8, 1), (5, 64), (1, 4), (1, 16)])
 def test_hybrid_matches_oracle(k, w):
     rng = np.random.default_rng(k * 31 + w)
     records = [
