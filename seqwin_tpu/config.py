@@ -107,6 +107,9 @@ class Config(BaseModel):
     #   'device'    -- on-device bottom-k MinHash sketches (mash-free)
     #   'minimizer' -- force the minimizer-sketch estimator
     sketch_mode: str = 'auto'
+    # When set, capture a jax.profiler trace of the run into this directory
+    # (viewable with TensorBoard / xprof).
+    profile_dir: Path | None = None
 
     @computed_field
     @cached_property

@@ -79,6 +79,21 @@ class Seqwin:
         config = self.config
         state = self.state
 
+        profiling = config.profile_dir is not None
+        if profiling:
+            import jax
+
+            jax.profiler.start_trace(str(config.profile_dir))
+            logger.info(f'jax.profiler trace -> {config.profile_dir}')
+        try:
+            self._run_inner(config, state)
+        finally:
+            if profiling:
+                import jax
+
+                jax.profiler.stop_trace()
+
+    def _run_inner(self, config: Config, state: RunState) -> None:
         kmers, jaccard = get_kmers(self.assemblies, config, state)
 
         if config.no_filter:

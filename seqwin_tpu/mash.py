@@ -66,6 +66,30 @@ def sketch(
     return real_out_path
 
 
+def dist(
+    ref_path: Path,
+    query_path: Path | None = None,
+    n_cpu: int = 1,
+):
+    """Run `mash dist` and parse the TSV into a DataFrame
+    (columns ref/query/dist/pval/jaccard/shared/total)."""
+    from io import StringIO
+
+    import pandas as pd
+
+    if query_path is None:
+        query_path = ref_path
+    logger.info(' - Calculating Mash distances of assembly pairs...')
+    cmd_out = run_cmd('mash', 'dist', '-p', str(n_cpu), ref_path, query_path)
+    df = pd.read_csv(
+        StringIO(cmd_out.stdout), sep='\t', header=None,
+        names=('ref', 'query', 'dist', 'pval', 'jaccard'), index_col=False,
+    )
+    df[['shared', 'total']] = df['jaccard'].str.split('/', expand=True).astype('int64')
+    df['jaccard'] = df['shared'] / df['total']
+    return df
+
+
 def get_jaccard(
     ref_path: Path,
     query_path: Path | None = None,

@@ -68,10 +68,16 @@ class KmerGraph:
         )
         assemblies.record_ids = record_ids
 
+        dt = time() - tik
         logger.info(f' - Found {len(kmers)} minimizers')
         logger.info(f' - Found {len(nodes)} nodes (unique minimizers)')
         logger.info(f' - Found {len(edges)} weighted edges')
-        print_time_delta(time() - tik)
+        if dt > 0:
+            logger.info(
+                f' - Throughput: {len(kmers) / dt:,.0f} minimizers/s, '
+                f'{n_assemblies / dt:,.2f} genomes/s'
+            )
+        print_time_delta(dt)
 
         self.kmers = kmers
         self.nodes = nodes

@@ -188,6 +188,31 @@ def revcomp(seq: str) -> str:
     return seq.translate(BASE_COMP)[::-1]
 
 
+def get_chunks(ls, n: int = 1):
+    """Yield n roughly equal chunks of a sequence."""
+    size, remainder = divmod(len(ls), n)
+    stop = 0
+    for i in range(n):
+        start = stop
+        stop = start + size + (1 if i < remainder else 0)
+        yield ls[start:stop]
+
+
+def most_common(iterable: Iterable[Hashable]):
+    """Most common element of an iterable."""
+    from collections import Counter
+
+    return Counter(iterable).most_common(1)[0][0]
+
+
+def most_common_weighted(iterable: Iterable):
+    """Most common element, weighted by element length."""
+    from collections import Counter
+
+    c = Counter(iterable)
+    return max(c, key=lambda k: len(k) * c[k])
+
+
 def load_paths_txt(paths_txt: Path) -> list[Path]:
     """One path per line; relative paths resolved against the txt's directory."""
     paths_txt = paths_txt.resolve(strict=True)
