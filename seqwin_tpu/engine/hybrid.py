@@ -140,12 +140,20 @@ def scan_phase1(codes, starts, k: int, w: int):
 
 
 @functools.partial(jax.jit, static_argnames=('emit_cap',))
-def scan_phase2(z_clean, canon, patch_pos, patch_z, emit_cap: int):
-    """Device call 2: z-patch, emission prefix-max, top_k extraction.
+def scan_phase2(z_clean, canon, patch_pos, patch_z, starts, mult, rec_base, emit_cap: int):
+    """Device call 2: z-patch, emission prefix-max, top_k extraction, and the
+    final (record, position, out-hash) mapping -- all device-resident so no
+    per-chunk host round-trip is needed.
+
+    Args:
+        starts: int32[S] record start offsets padded with a value > any
+            position (used for the flat-position -> record searchsorted).
+        mult: uint64 scalar, the derived-hash multiplier for this k.
+        rec_base: int32 scalar, global record index of this chunk's record 0.
 
     Returns:
-        (eidx i32[emit_cap] ascending flat positions, -1 padded at the end;
-         e_canon u64[emit_cap]; count i32)
+        (e_oh u64[emit_cap], e_pos u32[emit_cap], e_rec i32[emit_cap] (-1 pad),
+         count i32)
     """
     n = z_clean.shape[0]
     z = z_clean.at[patch_pos].set(patch_z, mode='drop')
@@ -158,8 +166,15 @@ def scan_phase2(z_clean, canon, patch_pos, patch_z, emit_cap: int):
     n_pad = emit_cap - jnp.minimum(count, i32(emit_cap))
     eidx = jnp.roll(asc, -n_pad)
     safe = jnp.clip(eidx, 0, n - 1)
-    e_canon = jnp.where(eidx >= 0, canon[safe], _u64(0))
-    return eidx, e_canon, count
+    live = eidx >= 0
+    e_canon = canon[safe]
+    t = e_canon * mult
+    e_oh = jnp.where(live, t ^ (t >> _u64(MULTISHIFT)), _u64(0))
+    rec_local = jnp.searchsorted(starts, eidx, side='right').astype(i32) - 1
+    rec_local = jnp.clip(rec_local, 0, starts.shape[0] - 1)
+    e_pos = jnp.where(live, eidx - starts[rec_local], i32(0)).astype(jnp.uint32)
+    e_rec = jnp.where(live, rec_local + rec_base, i32(-1))
+    return e_oh, e_pos, e_rec, count
 
 
 def _host_layout(record_codes: list[np.ndarray], n: int):
@@ -322,17 +337,23 @@ def _host_patch_z(codes: np.ndarray, members: np.ndarray, k: int):
     return z.astype(np.int32)
 
 
-def scan_records_hybrid(
+def scan_chunk_device(
     record_codes: list[np.ndarray],
     k: int,
     w: int,
+    rec_base: int = 0,
     min_chunk: int = 1 << 16,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Host driver for the hybrid scan. Same contract as
-    `minimizer.scan_records_host` (exact, scan-ordered emissions)."""
+):
+    """Scan one chunk; emitted minimizers stay device-resident.
+
+    Returns:
+        (e_oh, e_pos, e_rec) device arrays padded to the emission capacity
+        (e_rec == -1 on padding; record ids are global via ``rec_base``), and
+        the exact emitted ``count`` (int).
+    """
     total = int(sum(len(c) for c in record_codes))
     if total == 0 or not record_codes:
-        return (np.zeros(0, np.uint64), np.zeros(0, np.uint32), np.zeros(0, np.int32))
+        return None, None, None, 0
     n = max(min_chunk, next_pow2(total))
     codes, starts = _host_layout(record_codes, n)
 
@@ -342,7 +363,8 @@ def scan_records_hybrid(
     scap = max(64, next_pow2(len(starts)))
     starts_a = np.full(scap, n, dtype=np.int32)
     starts_a[:len(starts)] = starts
-    z_clean, canon = scan_phase1(jnp.asarray(codes), jnp.asarray(starts_a), k, w)
+    starts_j = jnp.asarray(starts_a)
+    z_clean, canon = scan_phase1(jnp.asarray(codes), starts_j, k, w)
 
     pcap = max(256, next_pow2(len(irr_pos) or 1))
     patch_pos_a = np.full(pcap, n, dtype=np.int32)
@@ -350,21 +372,32 @@ def scan_records_hybrid(
     patch_pos_a[:len(irr_pos)] = irr_pos
     patch_z_a[:len(irr_pos)] = patch_z
 
+    mult = jnp.uint64(out_hash_mult(k))
     emit_cap = max(1 << 12, next_pow2(int(2.5 * total / (w + 1)) + 64))
     while True:
-        eidx, e_canon, count = scan_phase2(
-            z_clean, canon, jnp.asarray(patch_pos_a), jnp.asarray(patch_z_a), emit_cap,
+        e_oh, e_pos, e_rec, count = scan_phase2(
+            z_clean, canon, jnp.asarray(patch_pos_a), jnp.asarray(patch_z_a),
+            starts_j, mult, jnp.int32(rec_base), emit_cap,
         )
         count = int(count)
         if count <= emit_cap:
-            break
+            return e_oh, e_pos, e_rec, count
         emit_cap = next_pow2(count)
 
-    eidx = np.asarray(eidx[:count]).astype(np.int64)
-    e_canon = np.asarray(e_canon[:count])
-    # host: flat position -> (record, in-record position); derived second hash
-    rec = (np.searchsorted(starts, eidx, side='right') - 1).astype(np.int32)
-    pos = (eidx - starts[rec]).astype(np.uint32)
-    t = e_canon * np.uint64(out_hash_mult(k))
-    oh = t ^ (t >> np.uint64(MULTISHIFT))
-    return oh, pos, rec
+
+def scan_records_hybrid(
+    record_codes: list[np.ndarray],
+    k: int,
+    w: int,
+    min_chunk: int = 1 << 16,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host driver for the hybrid scan. Same contract as
+    `minimizer.scan_records_host` (exact, scan-ordered emissions)."""
+    e_oh, e_pos, e_rec, count = scan_chunk_device(record_codes, k, w, 0, min_chunk)
+    if e_oh is None:
+        return (np.zeros(0, np.uint64), np.zeros(0, np.uint32), np.zeros(0, np.int32))
+    return (
+        np.asarray(e_oh[:count]),
+        np.asarray(e_pos[:count]),
+        np.asarray(e_rec[:count]),
+    )

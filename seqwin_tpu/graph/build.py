@@ -90,54 +90,56 @@ def build(
         raise ValueError('Total number of FASTA records exceeds uint32 range')
     offsets = np.array(record_offsets, dtype=np.uintp)
 
-    # --- chunked device scan ---
+    # --- chunked device scan (results stay device-resident until aggregation) ---
     import os
 
-    if os.environ.get('SEQWIN_TPU_SCAN', 'hybrid') == 'sort':
-        from ..engine.minimizer import scan_records_host
-    else:
-        from ..engine.hybrid import scan_records_hybrid as scan_records_host
-
+    use_sort_engine = os.environ.get('SEQWIN_TPU_SCAN', 'hybrid') == 'sort'
     chunk_budget = LOW_MEMORY_CHUNK_BASES if low_memory else DEFAULT_CHUNK_BASES
-    all_oh: list[np.ndarray] = []
-    all_pos: list[np.ndarray] = []
-    all_rec: list[np.ndarray] = []
 
+    chunk_results = []  # (e_oh, e_pos, e_rec, count) device arrays
     chunk_codes: list[np.ndarray] = []
-    chunk_rec_global: list[int] = []
+    chunk_rec_base = 0
     chunk_bases = 0
+    rec_global = 0
 
     def flush():
-        nonlocal chunk_codes, chunk_rec_global, chunk_bases
+        nonlocal chunk_codes, chunk_rec_base, chunk_bases
         if not chunk_codes:
             return
-        oh, pos, rec = scan_records_host(chunk_codes, kmerlen, windowsize)
-        remap = np.asarray(chunk_rec_global, dtype=np.int64)
-        all_oh.append(oh)
-        all_pos.append(pos)
-        all_rec.append(remap[rec].astype(np.int32) if len(rec) else rec)
-        chunk_codes, chunk_rec_global, chunk_bases = [], [], 0
+        if use_sort_engine:
+            from ..engine.minimizer import scan_records_host
 
-    rec_global = 0
+            import jax.numpy as jnp
+
+            oh, pos, rec = scan_records_host(chunk_codes, kmerlen, windowsize)
+            rec = (rec.astype(np.int64) + chunk_rec_base).astype(np.int32)
+            chunk_results.append(
+                (jnp.asarray(oh), jnp.asarray(pos), jnp.asarray(rec), len(oh))
+            )
+        else:
+            from ..engine.hybrid import scan_chunk_device
+
+            chunk_results.append(
+                scan_chunk_device(chunk_codes, kmerlen, windowsize, chunk_rec_base)
+            )
+        chunk_rec_base += len(chunk_codes)
+        chunk_codes, chunk_bases = [], 0
+
     for ids, codes_list in parsed:
         for codes in codes_list:
             if chunk_bases + len(codes) > chunk_budget and chunk_codes:
                 flush()
             chunk_codes.append(codes)
-            chunk_rec_global.append(rec_global)
             chunk_bases += len(codes)
             rec_global += 1
     flush()
 
-    oh = np.concatenate(all_oh) if all_oh else np.zeros(0, np.uint64)
-    pos = np.concatenate(all_pos) if all_pos else np.zeros(0, np.uint32)
-    rec = np.concatenate(all_rec) if all_rec else np.zeros(0, np.int32)
+    # --- aggregate (device sorts + host run-merge) ---
+    from ..engine.aggregate import aggregate_device
 
-    # --- aggregate ---
-    from ..engine.aggregate import aggregate
-
-    asm = (np.searchsorted(offsets, rec, side='right') - 1).astype(np.int32)
-    kmers, nodes, edges = aggregate(oh, pos, rec, asm, np.asarray(targets, dtype=bool))
+    kmers, nodes, edges = aggregate_device(
+        chunk_results, offsets, np.asarray(targets, dtype=bool)
+    )
     return kmers, nodes, edges, offsets, record_ids
 
 

@@ -271,5 +271,7 @@ def build_distributed(
 
     _, (oh, pos, rec) = sharded_scan(all_codes, kmerlen, windowsize, mesh)
     asm = (np.searchsorted(offsets, rec, side='right') - 1).astype(np.int32)
-    kmers, nodes, edges = aggregate(oh, pos, rec, asm, np.asarray(targets, dtype=bool))
+    kmers, nodes, edges = aggregate(
+        oh, pos, rec, asm, np.asarray(targets, dtype=bool), record_offsets=offsets
+    )
     return kmers, nodes, edges, offsets, record_ids
