@@ -5,11 +5,10 @@ from pathlib import Path
 import numpy as np
 
 import seqwin_tpu  # noqa: F401
-import jax.numpy as jnp
 
-from seqwin_tpu.engine import hybrid
-from seqwin_tpu.engine.aggregate import aggregate
-from seqwin_tpu.engine.minimizer import next_pow2
+from seqwin_tpu.engine.aggregate import aggregate_device
+from seqwin_tpu.engine.hybrid import scan_chunk_device
+from seqwin_tpu.graph.build import build
 from seqwin_tpu.io.fasta import parse_fasta_codes
 
 N_GENOMES = 24
@@ -37,82 +36,6 @@ def synth(tmp: Path):
     return paths, targets
 
 
-def run_once(parsed, label):
-    t_layout = t_irr = t_p1 = t_p2 = t_host_map = 0.0
-    all_oh, all_pos, all_rec = [], [], []
-    rec_global = 0
-    # one chunk per 2^25 bases
-    chunks = []
-    cur, cur_b, cur_base = [], 0, 0
-    for ids, codes_list in parsed:
-        for c in codes_list:
-            if cur_b + len(c) > (1 << 25) and cur:
-                chunks.append((cur, cur_base))
-                cur_base += len(cur)
-                cur, cur_b = [], 0
-            cur.append(c)
-            cur_b += len(c)
-    if cur:
-        chunks.append((cur, cur_base))
-
-    for recs, rec_base in chunks:
-        total = sum(len(c) for c in recs)
-        n = next_pow2(total)
-        t0 = time.time()
-        codes, starts = hybrid._host_layout(recs, n)
-        t_layout += time.time() - t0
-        t0 = time.time()
-        irr_pos, members = hybrid._host_irregular(codes, starts, K, W, n)
-        patch_z = hybrid._host_patch_z(codes, members, K)
-        t_irr += time.time() - t0
-
-        scap = max(64, next_pow2(len(starts)))
-        starts_a = np.full(scap, n, dtype=np.int32)
-        starts_a[:len(starts)] = starts
-        t0 = time.time()
-        z_clean, canon = hybrid.scan_phase1(jnp.asarray(codes), jnp.asarray(starts_a), K, W)
-        np.asarray(z_clean[:8])
-        t_p1 += time.time() - t0
-
-        pcap = max(256, next_pow2(len(irr_pos) or 1))
-        ppos = np.full(pcap, n, np.int32)
-        pz = np.full(pcap, -1, np.int32)
-        ppos[:len(irr_pos)] = irr_pos
-        pz[:len(irr_pos)] = patch_z
-        emit_cap = max(1 << 12, next_pow2(int(2.5 * total / (W + 1)) + 64))
-        t0 = time.time()
-        eidx, e_canon, count = hybrid.scan_phase2(z_clean, canon, jnp.asarray(ppos), jnp.asarray(pz), emit_cap)
-        count = int(count)
-        eidx_h = np.asarray(eidx[:count]).astype(np.int64)
-        ecan_h = np.asarray(e_canon[:count])
-        t_p2 += time.time() - t0
-
-        t0 = time.time()
-        rec = (np.searchsorted(starts, eidx_h, side='right') - 1).astype(np.int32)
-        pos = (eidx_h - starts[rec]).astype(np.uint32)
-        from seqwin_tpu.ops.hashing import MULTISHIFT, out_hash_mult
-        t = ecan_h * np.uint64(out_hash_mult(K))
-        oh = t ^ (t >> np.uint64(MULTISHIFT))
-        all_oh.append(oh)
-        all_pos.append(pos)
-        all_rec.append(rec + rec_base)
-        t_host_map += time.time() - t0
-        rec_global += len(recs)
-
-    oh = np.concatenate(all_oh)
-    pos = np.concatenate(all_pos)
-    rec = np.concatenate(all_rec).astype(np.int32)
-    t0 = time.time()
-    offsets = np.arange(N_GENOMES + 1, dtype=np.uintp)  # 1 record per genome
-    asm = (np.searchsorted(offsets, rec, side='right') - 1).astype(np.int32)
-    targets = np.arange(N_GENOMES) < N_GENOMES // 2
-    kmers, nodes, edges = aggregate(oh, pos, rec, asm, targets)
-    t_agg = time.time() - t0
-    print(f'[{label}] layout={t_layout:.2f} irregular={t_irr:.2f} phase1={t_p1:.2f} '
-          f'phase2={t_p2:.2f} hostmap={t_host_map:.2f} aggregate={t_agg:.2f} '
-          f'({len(kmers)} kmers, {len(nodes)} nodes, {len(edges)} edges)', flush=True)
-
-
 def main():
     import tempfile
 
@@ -124,9 +47,42 @@ def main():
         t0 = time.time()
         parsed = [parse_fasta_codes(p) for p in paths]
         print(f'parse: {time.time()-t0:.2f}s', flush=True)
-        run_once(parsed, 'warmup')
-        run_once(parsed, 'steady')
-        run_once(parsed, 'steady2')
+
+        # chunked like build(): 2^25 budget
+        chunks = []
+        cur, cur_b, base_rec = [], 0, 0
+        for ids, codes_list in parsed:
+            for c in codes_list:
+                if cur_b + len(c) > (1 << 25) and cur:
+                    chunks.append((cur, base_rec))
+                    base_rec += len(cur)
+                    cur, cur_b = [], 0
+                cur.append(c)
+                cur_b += len(c)
+        if cur:
+            chunks.append((cur, base_rec))
+
+        offsets = np.arange(N_GENOMES + 1, dtype=np.uintp)
+        tmask = np.arange(N_GENOMES) < N_GENOMES // 2
+
+        for label in ('warmup', 'steady', 'steady2'):
+            t_scan = 0.0
+            results = []
+            for recs, rb in chunks:
+                t0 = time.time()
+                results.append(scan_chunk_device(recs, K, W, rb))
+                t_scan += time.time() - t0
+            t0 = time.time()
+            kmers, nodes, edges = aggregate_device(results, offsets, tmask)
+            t_agg = time.time() - t0
+            print(f'[{label}] scan={t_scan:.2f} aggregate={t_agg:.2f} '
+                  f'({len(kmers)} kmers, {len(nodes)} nodes, {len(edges)} edges)', flush=True)
+
+        t0 = time.time()
+        out = build(paths, K, W, targets, n_cpu=4)
+        dt = time.time() - t0
+        print(f'build() end-to-end steady: {dt:.2f}s -> {len(out[0])/dt:,.0f} minimizers/s '
+              f'({(N_GENOMES*GENOME_LEN)/dt/1e6:.1f} Mbase/s)', flush=True)
 
 
 if __name__ == '__main__':
