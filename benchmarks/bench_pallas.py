@@ -1,0 +1,81 @@
+"""Compare the fused Pallas phase-1 kernel vs the XLA phase-1 on TPU."""
+import time
+
+import numpy as np
+
+import seqwin_tpu  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from seqwin_tpu.engine import hybrid
+from seqwin_tpu.engine.pallas_scan import pallas_phase1, phase1_shapes
+
+K, W = 21, 200
+TOTAL = 32_000_000
+
+
+def sync(out):
+    for x in jax.tree_util.tree_leaves(out):
+        np.asarray(x.reshape(-1)[:8])
+
+
+def main():
+    print('devices:', jax.devices(), flush=True)
+    rng = np.random.default_rng(0)
+    rec_len = 2_000_000
+    records = [rng.integers(0, 4, size=rec_len).astype(np.uint8) for _ in range(TOTAL // rec_len)]
+
+    # layout for pallas (records at offset w)
+    total = sum(len(c) for c in records) + W
+    rtotal, n = phase1_shapes(total, K, W)
+    codes = np.full(n, 255, dtype=np.uint8)
+    starts = []
+    off = W
+    for c in records:
+        codes[off:off + len(c)] = c
+        starts.append(off)
+        off += len(c)
+    aug = codes.copy()
+    for s in starts:
+        aug[s] |= 64
+    aug2d = jnp.asarray(aug.reshape(rtotal, W))
+
+    # XLA reference on the same buffer
+    scap = 64
+    starts_a = np.full(scap, n, dtype=np.int32)
+    starts_a[:len(starts)] = starts
+    codes_j = jnp.asarray(codes)
+    starts_j = jnp.asarray(starts_a)
+
+    t0 = time.time()
+    out = hybrid.scan_phase1(codes_j, starts_j, K, W)
+    sync(out)
+    print(f'xla phase1 compile+run: {time.time()-t0:.1f}s', flush=True)
+    t0 = time.time()
+    out = hybrid.scan_phase1(codes_j, starts_j, K, W)
+    sync(out)
+    t_xla = time.time() - t0
+    print(f'xla phase1 steady: {t_xla*1e3:.0f} ms ({n/t_xla/1e6:.0f} Mpos/s)', flush=True)
+    z_ref = np.asarray(out[0])
+
+    t0 = time.time()
+    zp = pallas_phase1(aug2d, K, W)
+    sync(zp)
+    print(f'pallas phase1 compile+run: {time.time()-t0:.1f}s', flush=True)
+    t0 = time.time()
+    zp = pallas_phase1(aug2d, K, W)
+    sync(zp)
+    t_pal = time.time() - t0
+    print(f'pallas phase1 steady: {t_pal*1e3:.0f} ms ({n/t_pal/1e6:.0f} Mpos/s)', flush=True)
+
+    z = np.asarray(zp[0])
+    m = len(z)
+    ok = np.array_equal(z, z_ref[:m])
+    print('bit-exact z on TPU:', ok, flush=True)
+    if not ok:
+        bad = np.flatnonzero(z != z_ref[:m])
+        print('mismatches:', len(bad), bad[:10])
+
+
+if __name__ == '__main__':
+    main()
