@@ -177,11 +177,11 @@ def scan_phase2(z_clean, canon, patch_pos, patch_z, starts, mult, rec_base, emit
     return e_oh, e_pos, e_rec, count
 
 
-def _host_layout(record_codes: list[np.ndarray], n: int):
-    """Concatenate records; per-base codes, record-start offsets, record ids."""
+def _host_layout(record_codes: list[np.ndarray], n: int, offset: int = 0):
+    """Concatenate records at ``offset``; per-base codes + record-start offsets."""
     codes = np.full(n, 255, dtype=np.uint8)
     starts = np.zeros(len(record_codes), dtype=np.int64)
-    off = 0
+    off = offset
     for ri, c in enumerate(record_codes):
         L = len(c)
         codes[off:off + L] = c
@@ -351,20 +351,46 @@ def scan_chunk_device(
         (e_rec == -1 on padding; record ids are global via ``rec_base``), and
         the exact emitted ``count`` (int).
     """
+    import os
+
     total = int(sum(len(c) for c in record_codes))
     if total == 0 or not record_codes:
         return None, None, None, 0
-    n = max(min_chunk, next_pow2(total))
-    codes, starts = _host_layout(record_codes, n)
 
-    irr_pos, members = _host_irregular(codes, starts, k, w, n, total=total)
+    use_pallas = os.environ.get('SEQWIN_TPU_PHASE1', 'xla') == 'pallas'
+    if use_pallas:
+        from .pallas_scan import pallas_phase1, phase1_shapes
+
+        # pallas layout: one pad row in front (records start at offset w)
+        rtotal, n = phase1_shapes(total + w, k, w)
+        codes, starts = _host_layout(record_codes, n, offset=w)
+        stream_end = w + total
+    else:
+        n = max(min_chunk, next_pow2(total))
+        codes, starts = _host_layout(record_codes, n)
+        stream_end = total
+
+    irr_pos, members = _host_irregular(codes, starts, k, w, n, total=stream_end)
     patch_z = _host_patch_z(codes, members, k)
 
     scap = max(64, next_pow2(len(starts)))
     starts_a = np.full(scap, n, dtype=np.int32)
     starts_a[:len(starts)] = starts
     starts_j = jnp.asarray(starts_a)
-    z_clean, canon = scan_phase1(jnp.asarray(codes), starts_j, k, w)
+    if use_pallas:
+        aug = codes.copy()
+        aug[starts] |= 64
+        # compiled Mosaic needs a TPU; fall back to the interpreter elsewhere
+        interpret = jax.default_backend() not in ('tpu', 'axon')
+        z_clean, c_lo, c_hi = pallas_phase1(aug.reshape(rtotal, w), k, w, interpret=interpret)
+        canon = c_lo.astype(_U64) | (c_hi.astype(_U64) << _u64(32))
+        # pallas output omits trailing halo rows; pad z/canon back to n
+        tail = n - z_clean.shape[0]
+        if tail:
+            z_clean = jnp.concatenate([z_clean, jnp.full((tail,), i32(-1))])
+            canon = jnp.concatenate([canon, jnp.zeros((tail,), dtype=_U64)])
+    else:
+        z_clean, canon = scan_phase1(jnp.asarray(codes), starts_j, k, w)
 
     pcap = max(256, next_pow2(len(irr_pos) or 1))
     patch_pos_a = np.full(pcap, n, dtype=np.int32)
@@ -373,7 +399,7 @@ def scan_chunk_device(
     patch_z_a[:len(irr_pos)] = patch_z
 
     mult = jnp.uint64(out_hash_mult(k))
-    emit_cap = max(1 << 12, next_pow2(int(2.5 * total / (w + 1)) + 64))
+    emit_cap = min(max(1 << 12, next_pow2(int(2.5 * total / (w + 1)) + 64)), n)
     while True:
         e_oh, e_pos, e_rec, count = scan_phase2(
             z_clean, canon, jnp.asarray(patch_pos_a), jnp.asarray(patch_z_a),

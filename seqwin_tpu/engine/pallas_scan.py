@@ -41,6 +41,21 @@ _SENT_LO = np.uint32(0xFFFFFFFF)
 _SENT_HI = np.uint32(0xFFFFFFFF)
 
 
+def _mod_const(x, m: int, max_val: int):
+    """x mod m for 0 <= x < max_val, via conditional subtraction (Mosaic's
+    jnp.remainder lowering recurses, so no hardware mod)."""
+    sub = m
+    subs = []
+    while sub * 2 <= max_val:
+        sub *= 2
+    while sub >= m:
+        subs.append(sub)
+        sub //= 2
+    for s in subs:
+        x = jnp.where(x >= s, x - s, x)
+    return x
+
+
 def _rot33(lo, b, r):
     """33-bit split rotation of (lo, b=bit32) by r (i32 in [0, 32])."""
     rc_i = jnp.minimum(jnp.maximum(r, 1), 31)
@@ -174,7 +189,7 @@ HALO_FETCH = 31
 def _make_kernel(k: int, w: int, tb: int, halo_after: int, n_total: int):
     rows_in = tb + 1 + halo_after
 
-    def kernel(codes_ref, z_ref, clo_ref, chi_ref):
+    def kernel(tilemod_ref, codes_ref, z_ref, clo_ref, chi_ref):
         tile = pl.program_id(0)
         raw = codes_ref[:].astype(i32)
         code = raw & i32(63)
@@ -186,10 +201,19 @@ def _make_kernel(k: int, w: int, tb: int, halo_after: int, n_total: int):
         lid = jax.lax.broadcasted_iota(i32, (rows_in, w), 1)
         p = (base_row + rid) * w + lid
 
-        pm33 = p % 33
-        pm31 = p % 31
-        neg33 = (33 - pm33) % 33
-        neg31 = (31 - pm31) % 31
+        # p mod 33 / mod 31 decomposed: (tile part, prefetched) + (row part)
+        # + (lane part), folded with conditional subtraction -- Mosaic has no
+        # usable mod.
+        t33 = tilemod_ref[tile, 0]
+        t31 = tilemod_ref[tile, 1]
+        r33p = _mod_const(_mod_const(rid, 33, rows_in) * (w % 33), 33, 33 * 33)
+        r31p = _mod_const(_mod_const(rid, 31, rows_in) * (w % 31), 31, 31 * 31)
+        l33 = _mod_const(lid, 33, w)
+        l31 = _mod_const(lid, 31, w)
+        pm33 = _mod_const(t33 + r33p + l33, 33, 3 * 33)
+        pm31 = _mod_const(t31 + r31p + l31, 31, 3 * 31)
+        neg33 = jnp.where(pm33 == 0, 0, 33 - pm33)
+        neg31 = jnp.where(pm31 == 0, 0, 31 - pm31)
 
         a_lo, a_hi = _sel_seed(code, SEEDS)
         a_lo, a_hi = _srol_pair(a_lo, a_hi, neg33, neg31)
@@ -199,8 +223,8 @@ def _make_kernel(k: int, w: int, tb: int, halo_after: int, n_total: int):
         wf_lo, wf_hi = _xor_ladder(a_lo, a_hi, k, w)
         wr_lo, wr_hi = _xor_ladder(b_lo, b_hi, k, w)
 
-        f33 = (pm33 + (k - 1)) % 33
-        f31 = (pm31 + (k - 1)) % 31
+        f33 = _mod_const(pm33 + ((k - 1) % 33), 33, 2 * 33)
+        f31 = _mod_const(pm31 + ((k - 1) % 31), 31, 2 * 31)
         fwd_lo, fwd_hi = _srol_pair(wf_lo, wf_hi, f33, f31)
         rev_lo, rev_hi = _srol_pair(wr_lo, wr_hi, neg33, neg31)
 
@@ -285,13 +309,13 @@ def pallas_phase1(codes_aug_2d, k: int, w: int, tb: int = 128, interpret: bool =
     tiles = r_out // tb
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=1,
         grid=(tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(
-            pl.BlockSpec((tb, w), lambda i: (i, 0)),
-            pl.BlockSpec((tb, w), lambda i: (i, 0)),
-            pl.BlockSpec((tb, w), lambda i: (i, 0)),
+            pl.BlockSpec((tb, w), lambda i, *_: (i, 0)),
+            pl.BlockSpec((tb, w), lambda i, *_: (i, 0)),
+            pl.BlockSpec((tb, w), lambda i, *_: (i, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((rows_in, w), jnp.uint8),
@@ -299,7 +323,7 @@ def pallas_phase1(codes_aug_2d, k: int, w: int, tb: int = 128, interpret: bool =
         ],
     )
 
-    def outer_kernel(codes_hbm, z_ref, clo_ref, chi_ref, scratch, sem):
+    def outer_kernel(tilemod_ref, codes_hbm, z_ref, clo_ref, chi_ref, scratch, sem):
         tile = pl.program_id(0)
         cp = pltpu.make_async_copy(
             codes_hbm.at[pl.ds(tile * tb, rows_in), :],
@@ -308,7 +332,15 @@ def pallas_phase1(codes_aug_2d, k: int, w: int, tb: int = 128, interpret: bool =
         )
         cp.start()
         cp.wait()
-        kernel(scratch, z_ref, clo_ref, chi_ref)
+        kernel(tilemod_ref, scratch, z_ref, clo_ref, chi_ref)
+
+    tilemod = np.stack(
+        [
+            np.array([(i * tb * w) % 33 for i in range(tiles)], dtype=np.int32),
+            np.array([(i * tb * w) % 31 for i in range(tiles)], dtype=np.int32),
+        ],
+        axis=1,
+    )
 
     z2d, lo2d, hi2d = pl.pallas_call(
         outer_kernel,
@@ -319,7 +351,7 @@ def pallas_phase1(codes_aug_2d, k: int, w: int, tb: int = 128, interpret: bool =
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(codes_aug_2d)
+    )(jnp.asarray(tilemod), codes_aug_2d)
 
     pad_row_z = jnp.full((1, w), i32(-1))
     pad_row_u = jnp.zeros((1, w), dtype=u32)
@@ -331,8 +363,9 @@ def pallas_phase1(codes_aug_2d, k: int, w: int, tb: int = 128, interpret: bool =
 
 def phase1_shapes(total_bases: int, k: int, w: int, tb: int = 128):
     """(rows_total, n_flat) for a stream of ``total_bases`` real bases placed
-    at offset w (row 0 is padding)."""
-    data_rows = -(-total_bases // w)
-    r_out = -(-data_rows // tb) * tb
+    at offset w (row 0 is padding). Output rows are rounded to a power of two
+    (>= tb) so jit re-traces stay bounded across datasets."""
+    data_rows = max(1, -(-total_bases // w))
+    r_out = max(tb, 1 << (data_rows - 1).bit_length())
     rtotal = 1 + r_out + HALO_FETCH
     return rtotal, rtotal * w
