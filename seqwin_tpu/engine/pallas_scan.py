@@ -212,8 +212,10 @@ def _make_kernel(k: int, w: int, tb: int, halo_after: int, n_total: int):
         l31 = _mod_const(lid, 31, w)
         pm33 = _mod_const(t33 + r33p + l33, 33, 3 * 33)
         pm31 = _mod_const(t31 + r31p + l31, 31, 3 * 31)
-        neg33 = jnp.where(pm33 == 0, 0, 33 - pm33)
-        neg31 = jnp.where(pm31 == 0, 0, 31 - pm31)
+        # NOTE: scalar literals as where-branches recurse in Mosaic tracing;
+        # keep every branch an array or an explicitly typed scalar.
+        neg33 = jnp.where(pm33 == 0, i32(0), i32(33) - pm33)
+        neg31 = jnp.where(pm31 == 0, i32(0), i32(31) - pm31)
 
         a_lo, a_hi = _sel_seed(code, SEEDS)
         a_lo, a_hi = _srol_pair(a_lo, a_hi, neg33, neg31)
