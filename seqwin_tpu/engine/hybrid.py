@@ -60,18 +60,20 @@ def _u64(x: int):
 
 
 @functools.partial(jax.jit, static_argnames=('k', 'w'))
-def scan_phase1(codes, starts, k: int, w: int):
+def scan_phase1(codes_aug, k: int, w: int):
     """Device call 1: hashes + validity + clean-window argmin.
 
     Args:
-        codes: uint8[N] base codes (255 invalid/padding).
-        starts: int32[S] record start offsets (padded with N; must include 0).
+        codes_aug: uint8[N]; bits 0..5 = base code (0..3 valid), bit 6 = the
+            record-start flag; padding bytes are 255.
 
     Returns:
         (z_clean i32[N], canon u64[N])
     """
-    n = codes.shape[0]
+    n = codes_aug.shape[0]
     iota = jnp.arange(n, dtype=i32)
+    codes = codes_aug & jnp.uint8(63)
+    is_start = (codes_aug & jnp.uint8(64)) != 0
 
     im33 = iota % 33
     im31 = iota % 31
@@ -91,7 +93,6 @@ def scan_phase1(codes, starts, k: int, w: int):
     # window contains a non-ACGT base, or a record START strictly inside it
     # (cross-record window), or it runs past the buffer.
     invalid = codes > 3
-    is_start = jnp.zeros((n,), dtype=bool).at[starts].set(True, mode='drop')
     bad_base = _window_any(invalid, k)
     start_inside = (
         _window_any(jnp.concatenate([is_start[1:], jnp.asarray([False])]), k - 1)
@@ -212,11 +213,17 @@ class _SparseValidity:
     The k-mer domain is [0, total - k].
     """
 
-    def __init__(self, codes: np.ndarray, starts: np.ndarray, k: int, total: int):
+    def __init__(self, codes: np.ndarray, starts: np.ndarray, k: int, total: int,
+                 inv_points: np.ndarray | None = None):
         self.k = k
         self.total = total
         self.last = total - k  # inclusive k-mer domain end (may be < 0)
-        inv = np.flatnonzero(codes[:total] > 3).astype(np.int64)
+        if inv_points is not None:
+            inv = np.asarray(inv_points, dtype=np.int64)
+            inv = inv[inv < total]
+        else:
+            # strip the record-start flag (bit 6) before the validity test
+            inv = np.flatnonzero((codes[:total] & 63) > 3).astype(np.int64)
         a_parts = [np.maximum(inv - k + 1, 0)]
         b_parts = [np.minimum(inv, max(self.last, 0))]
         if k > 1 and len(starts) > 1:
@@ -269,7 +276,7 @@ class _SparseValidity:
 
 
 def _host_irregular(codes: np.ndarray, starts: np.ndarray, k: int, w: int, n: int,
-                    total: int | None = None):
+                    total: int | None = None, inv_points: np.ndarray | None = None):
     """Enumerate irregular windows and their members, sparsely.
 
     A window ending at valid k-mer ``p`` (with >= w valid k-mers so far in its
@@ -283,7 +290,7 @@ def _host_irregular(codes: np.ndarray, starts: np.ndarray, k: int, w: int, n: in
     """
     if total is None:
         total = n
-    sv = _SparseValidity(codes, starts, k, total)
+    sv = _SparseValidity(codes, starts, k, total, inv_points=inv_points)
     if sv.last < 0:
         return np.zeros(0, np.int32), np.zeros((0, w), np.int64)
     starts64 = np.asarray(starts, dtype=np.int64)
@@ -361,16 +368,27 @@ def scan_chunk_device(
     if use_pallas:
         from .pallas_scan import pallas_phase1, phase1_shapes
 
-        # pallas layout: one pad row in front (records start at offset w)
-        rtotal, n = phase1_shapes(total + w, k, w)
-        codes, starts = _host_layout(record_codes, n, offset=w)
-        stream_end = w + total
+        rtotal, n, offset = phase1_shapes(total, k, w)
     else:
         n = max(min_chunk, next_pow2(total))
-        codes, starts = _host_layout(record_codes, n)
-        stream_end = total
+        offset = 0
+    stream_end = offset + total
 
-    irr_pos, members = _host_irregular(codes, starts, k, w, n, total=stream_end)
+    # augmented layout (bit 6 = record start); native memcpy path when built
+    from ..io import native
+
+    laid = native.layout_chunk(record_codes, n, offset)
+    if laid is not None:
+        codes, starts, inv_rec = laid
+        inv_points = np.concatenate([np.arange(offset, dtype=np.int64), inv_rec])
+    else:
+        codes, starts = _host_layout(record_codes, n, offset=offset)
+        codes[starts] |= 64
+        inv_points = None
+
+    irr_pos, members = _host_irregular(
+        codes, starts, k, w, n, total=stream_end, inv_points=inv_points
+    )
     patch_z = _host_patch_z(codes, members, k)
 
     scap = max(64, next_pow2(len(starts)))
@@ -378,11 +396,13 @@ def scan_chunk_device(
     starts_a[:len(starts)] = starts
     starts_j = jnp.asarray(starts_a)
     if use_pallas:
-        aug = codes.copy()
-        aug[starts] |= 64
         # compiled Mosaic needs a TPU; fall back to the interpreter elsewhere
         interpret = jax.default_backend() not in ('tpu', 'axon')
-        z_clean, c_lo, c_hi = pallas_phase1(aug.reshape(rtotal, w), k, w, interpret=interpret)
+        from .pallas_scan import L as _LANES
+
+        z_clean, c_lo, c_hi = pallas_phase1(
+            codes.reshape(rtotal, _LANES), k, w, interpret=interpret
+        )
         canon = c_lo.astype(_U64) | (c_hi.astype(_U64) << _u64(32))
         # pallas output omits trailing halo rows; pad z/canon back to n
         tail = n - z_clean.shape[0]
@@ -390,7 +410,7 @@ def scan_chunk_device(
             z_clean = jnp.concatenate([z_clean, jnp.full((tail,), i32(-1))])
             canon = jnp.concatenate([canon, jnp.zeros((tail,), dtype=_U64)])
     else:
-        z_clean, canon = scan_phase1(jnp.asarray(codes), starts_j, k, w)
+        z_clean, canon = scan_phase1(jnp.asarray(codes), k, w)
 
     pcap = max(256, next_pow2(len(irr_pos) or 1))
     patch_pos_a = np.full(pcap, n, dtype=np.int32)

@@ -80,12 +80,57 @@ def _load() -> ctypes.CDLL | None:
         lib.sq_record_id.restype = ctypes.c_char_p
         lib.sq_record_id.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
         lib.sq_free.argtypes = [ctypes.c_void_p]
+        lib.sq_layout_chunk.restype = ctypes.c_uint64
+        lib.sq_layout_chunk.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),  # recs
+            ctypes.POINTER(ctypes.c_uint64),  # lens
+            ctypes.c_uint64,                  # n_recs
+            ctypes.POINTER(ctypes.c_uint8),   # buf
+            ctypes.c_uint64,                  # n
+            ctypes.c_uint64,                  # offset
+            ctypes.POINTER(ctypes.c_int64),   # starts_out
+            ctypes.POINTER(ctypes.c_int64),   # inv_out
+            ctypes.c_uint64,                  # inv_cap
+        ]
         _lib = lib
         return _lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def layout_chunk(record_codes, n: int, offset: int):
+    """Native chunk layout: concatenated augmented codes (bit6 = record start),
+    record start offsets, and invalid-base positions. None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n_recs = len(record_codes)
+    recs = (ctypes.c_void_p * n_recs)()
+    lens = (ctypes.c_uint64 * n_recs)()
+    keepalive = []
+    total = 0
+    for i, c in enumerate(record_codes):
+        c = np.ascontiguousarray(c, dtype=np.uint8)
+        keepalive.append(c)
+        recs[i] = c.ctypes.data
+        lens[i] = len(c)
+        total += len(c)
+    buf = np.empty(n, dtype=np.uint8)
+    starts = np.empty(n_recs, dtype=np.int64)
+    inv_cap = max(1024, total // 16)
+    while True:
+        inv = np.empty(inv_cap, dtype=np.int64)
+        n_inv = lib.sq_layout_chunk(
+            recs, lens, n_recs,
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, offset,
+            starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            inv.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), inv_cap,
+        )
+        if n_inv <= inv_cap:
+            return buf, starts, inv[:n_inv]
+        inv_cap = int(n_inv)
 
 
 def parse_fasta_codes_native(path) -> tuple[list[str], list[np.ndarray]] | None:

@@ -152,4 +152,40 @@ const uint64_t* sq_offsets(void* h) { return ((Parsed*)h)->offsets.data(); }
 const char* sq_record_id(void* h, uint64_t i) { return ((Parsed*)h)->ids[i].c_str(); }
 void sq_free(void* h) { delete (Parsed*)h; }
 
+// Lay out a scan chunk: copy record code arrays into a padded buffer at
+// `offset`, set the record-start flag (bit 6) on each first base, pad with
+// 255, and collect the positions of invalid bases (> 3) inside records.
+// Returns the total number of invalid in-record bases; at most inv_cap are
+// written to inv_out (callers size inv_cap and retry on overflow).
+uint64_t sq_layout_chunk(
+    const uint8_t** recs,
+    const uint64_t* lens,
+    uint64_t n_recs,
+    uint8_t* buf,
+    uint64_t n,
+    uint64_t offset,
+    int64_t* starts_out,
+    int64_t* inv_out,
+    uint64_t inv_cap) {
+    std::memset(buf, 0xFF, offset);
+    uint64_t off = offset;
+    uint64_t n_inv = 0;
+    for (uint64_t r = 0; r < n_recs; ++r) {
+        starts_out[r] = (int64_t)off;
+        const uint8_t* src = recs[r];
+        uint64_t len = lens[r];
+        std::memcpy(buf + off, src, len);
+        for (uint64_t i = 0; i < len; ++i) {
+            if (src[i] > 3) {
+                if (n_inv < inv_cap) inv_out[n_inv] = (int64_t)(off + i);
+                ++n_inv;
+            }
+        }
+        if (len > 0) buf[off] |= 0x40;
+        off += len;
+    }
+    if (off < n) std::memset(buf + off, 0xFF, n - off);
+    return n_inv;
+}
+
 }  // extern "C"

@@ -41,7 +41,8 @@ def canon_at(codes: np.ndarray, positions: np.ndarray, k: int) -> np.ndarray:
         return np.zeros(0, dtype=np.uint64)
     fwd_tab, rev_tab = _tables(k)
     offs = positions[:, None].astype(np.int64) + np.arange(k, dtype=np.int64)[None, :]
-    c = np.minimum(codes[offs], 4).astype(np.int64)  # 255 -> clamp to col 4
+    # strip the record-start flag (bit 6); anything non-ACGT clamps to col 4
+    c = np.minimum(codes[offs] & np.uint8(63), 4).astype(np.int64)
     fwd = np.bitwise_xor.reduce(fwd_tab[np.arange(k)[None, :], c], axis=1)
     rev = np.bitwise_xor.reduce(rev_tab[np.arange(k)[None, :], c], axis=1)
     return fwd + rev  # u64 wraps

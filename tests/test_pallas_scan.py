@@ -5,34 +5,30 @@ import pytest
 import jax.numpy as jnp
 
 from seqwin_tpu.engine import hybrid
-from seqwin_tpu.engine.pallas_scan import HALO_FETCH, pallas_phase1, phase1_shapes
+from seqwin_tpu.engine.pallas_scan import L, pallas_phase1, phase1_shapes
 
 
-def _layout(records, k, w, tb=128):
-    total = sum(len(c) for c in records) + w  # records start at offset w
-    rtotal, n = phase1_shapes(total, k, w, tb)
+def _layout(records, k, w):
+    total = sum(len(c) for c in records)
+    rtotal, n, offset = phase1_shapes(total, k, w)
     codes = np.full(n, 255, dtype=np.uint8)
     starts = []
-    off = w
+    off = offset
     for c in records:
         codes[off:off + len(c)] = c
         starts.append(off)
         off += len(c)
-    aug = codes.copy()
     for s in starts:
-        aug[s] |= 64
-    return codes, aug.reshape(rtotal, w), np.array(starts, np.int64), n
+        codes[s] |= 64
+    return codes.reshape(rtotal, L), np.array(starts, np.int64), n
 
 
-def _xla_ref(codes, starts, k, w, n):
-    scap = 1 << max(6, (len(starts)).bit_length())
-    starts_a = np.full(scap, n, dtype=np.int32)
-    starts_a[:len(starts)] = starts
-    z, canon = hybrid.scan_phase1(jnp.asarray(codes), jnp.asarray(starts_a), k, w)
+def _xla_ref(aug_codes_flat, k, w):
+    z, canon = hybrid.scan_phase1(jnp.asarray(aug_codes_flat), k, w)
     return np.asarray(z), np.asarray(canon)
 
 
-@pytest.mark.parametrize('k,w', [(7, 10), (21, 200), (4, 3), (1, 4), (31, 16), (5, 128)])
+@pytest.mark.parametrize('k,w', [(7, 10), (21, 200), (4, 3), (1, 4), (31, 16), (5, 128), (9, 1), (13, 256)])
 def test_pallas_phase1_matches_xla(k, w):
     rng = np.random.default_rng(k * 7 + w)
     records = []
@@ -40,17 +36,14 @@ def test_pallas_phase1_matches_xla(k, w):
         c = rng.integers(0, 4, size=n_rec).astype(np.uint8)
         c[rng.random(n_rec) < frac] = 255
         records.append(c)
-    codes, aug2d, starts, n = _layout(records, k, w)
-    z_ref, canon_ref = _xla_ref(codes, starts, k, w, n)
+    aug2d, starts, n = _layout(records, k, w)
+    z_ref, canon_ref = _xla_ref(aug2d.reshape(-1), k, w)
     z, lo, hi = pallas_phase1(aug2d, k, w, interpret=True)
     z = np.asarray(z)
     canon = np.asarray(lo).astype(np.uint64) | (np.asarray(hi).astype(np.uint64) << np.uint64(32))
-    # the pallas output omits the trailing halo rows (pure padding)
-    m = len(z)
-    assert np.all(z_ref[m:] == -1)
-    np.testing.assert_array_equal(z, z_ref[:m])
-    sel = z_ref[:m] >= 0
-    candidates = np.unique(z_ref[:m][sel])
+    np.testing.assert_array_equal(z, z_ref)
+    sel = z_ref >= 0
+    candidates = np.unique(z_ref[sel]).astype(np.int64)
     np.testing.assert_array_equal(canon[candidates], canon_ref[candidates])
 
 
@@ -58,9 +51,7 @@ def test_pallas_phase1_all_clean_long():
     k, w = 21, 64
     rng = np.random.default_rng(0)
     records = [rng.integers(0, 4, size=60_000).astype(np.uint8)]
-    codes, aug2d, starts, n = _layout(records, k, w)
-    z_ref, canon_ref = _xla_ref(codes, starts, k, w, n)
+    aug2d, starts, n = _layout(records, k, w)
+    z_ref, _ = _xla_ref(aug2d.reshape(-1), k, w)
     z, lo, hi = pallas_phase1(aug2d, k, w, interpret=True)
-    z = np.asarray(z)
-    np.testing.assert_array_equal(z, z_ref[:len(z)])
-    assert np.all(z_ref[len(z):] == -1)
+    np.testing.assert_array_equal(np.asarray(z), z_ref)
