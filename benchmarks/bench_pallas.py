@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from seqwin_tpu.engine import hybrid
-from seqwin_tpu.engine.pallas_scan import pallas_phase1, phase1_shapes
+from seqwin_tpu.engine.pallas_scan import L, pallas_phase1, phase1_shapes
 
 K, W = 21, 200
 TOTAL = 32_000_000
@@ -25,34 +25,26 @@ def main():
     rec_len = 2_000_000
     records = [rng.integers(0, 4, size=rec_len).astype(np.uint8) for _ in range(TOTAL // rec_len)]
 
-    # layout for pallas (records at offset w)
-    total = sum(len(c) for c in records) + W
-    rtotal, n = phase1_shapes(total, K, W)
+    total = sum(len(c) for c in records)
+    rtotal, n, offset = phase1_shapes(total, K, W)
     codes = np.full(n, 255, dtype=np.uint8)
+    off = offset
     starts = []
-    off = W
     for c in records:
         codes[off:off + len(c)] = c
         starts.append(off)
         off += len(c)
-    aug = codes.copy()
     for s in starts:
-        aug[s] |= 64
-    aug2d = jnp.asarray(aug.reshape(rtotal, W))
-
-    # XLA reference on the same buffer
-    scap = 64
-    starts_a = np.full(scap, n, dtype=np.int32)
-    starts_a[:len(starts)] = starts
+        codes[s] |= 64
+    aug2d = jnp.asarray(codes.reshape(rtotal, L))
     codes_j = jnp.asarray(codes)
-    starts_j = jnp.asarray(starts_a)
 
     t0 = time.time()
-    out = hybrid.scan_phase1(codes_j, starts_j, K, W)
+    out = hybrid.scan_phase1(codes_j, K, W)
     sync(out)
     print(f'xla phase1 compile+run: {time.time()-t0:.1f}s', flush=True)
     t0 = time.time()
-    out = hybrid.scan_phase1(codes_j, starts_j, K, W)
+    out = hybrid.scan_phase1(codes_j, K, W)
     sync(out)
     t_xla = time.time() - t0
     print(f'xla phase1 steady: {t_xla*1e3:.0f} ms ({n/t_xla/1e6:.0f} Mpos/s)', flush=True)
@@ -69,12 +61,11 @@ def main():
     print(f'pallas phase1 steady: {t_pal*1e3:.0f} ms ({n/t_pal/1e6:.0f} Mpos/s)', flush=True)
 
     z = np.asarray(zp[0])
-    m = len(z)
-    ok = np.array_equal(z, z_ref[:m])
+    ok = np.array_equal(z, z_ref)
     print('bit-exact z on TPU:', ok, flush=True)
     if not ok:
-        bad = np.flatnonzero(z != z_ref[:m])
-        print('mismatches:', len(bad), bad[:10])
+        bad = np.flatnonzero(z != z_ref)
+        print('mismatches:', len(bad), bad[:10], z[bad[:5]], z_ref[bad[:5]])
 
 
 if __name__ == '__main__':

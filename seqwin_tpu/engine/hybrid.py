@@ -364,7 +364,13 @@ def scan_chunk_device(
     if total == 0 or not record_codes:
         return None, None, None, 0
 
-    use_pallas = os.environ.get('SEQWIN_TPU_PHASE1', 'xla') == 'pallas'
+    mode = os.environ.get('SEQWIN_TPU_PHASE1', 'auto')
+    if mode == 'auto':
+        # the fused Mosaic kernel is the fast path on real TPUs; elsewhere the
+        # XLA phase-1 avoids the (slow) pallas interpreter
+        use_pallas = jax.default_backend() in ('tpu', 'axon')
+    else:
+        use_pallas = mode == 'pallas'
     if use_pallas:
         from .pallas_scan import pallas_phase1, phase1_shapes
 

@@ -169,21 +169,21 @@ def _take_right(l_lo, l_hi, r_lo, r_hi):
 
 
 def _make_kernel(k: int, w: int, tb: int, hb: int, rows_in: int, n_total: int):
-    def kernel(tilemod_ref, codes_ref, z_ref, clo_ref, chi_ref):
-        tile = pl.program_id(0)
+    def kernel(scal_ref, codes_ref, z_ref, clo_ref, chi_ref):
+        # scal_ref (SMEM i32[1,4]): [base_row, base%33, base%31, base%w]
         raw = codes_ref[:].astype(i32)
         code = raw & i32(63)
         start = (raw & i32(64)) != 0
 
-        base_row = tile * tb
+        base_row = scal_ref[0, 0]
         rid = jax.lax.broadcasted_iota(i32, (rows_in, L), 0)
         lid = jax.lax.broadcasted_iota(i32, (rows_in, L), 1)
         p = (base_row + rid) * L + lid
 
-        # p mod {33, 31, w}: prefetched tile residue + row part + lane part
-        t33 = tilemod_ref[tile, 0]
-        t31 = tilemod_ref[tile, 1]
-        tw = tilemod_ref[tile, 2]
+        # p mod {33, 31, w}: per-tile residue (SMEM) + row part + lane part
+        t33 = scal_ref[0, 1]
+        t31 = scal_ref[0, 2]
+        tw = scal_ref[0, 3]
         r33p = _mod_const(_mod_const(rid, 33, rows_in) * (L % 33), 33, 33 * 33)
         r31p = _mod_const(_mod_const(rid, 31, rows_in) * (L % 31), 31, 31 * 31)
         pm33 = _mod_const(t33 + r33p + _mod_const(lid, 33, L), 33, 3 * 33)
@@ -297,63 +297,48 @@ def pallas_phase1(codes_aug_2d, k: int, w: int, tb: int = 128, interpret: bool =
     rtotal, ww = codes_aug_2d.shape
     assert ww == L
     hb, ha = _halos(k, w)
-    # fetched block is padded so rows_in and tile offsets are 32-multiples
     r_out = rtotal - hb - ha
     r_out -= r_out % tb
     assert r_out > 0
     rows_in = tb + hb + ha
-    rows_in += (-rows_in) % 32
-    # re-derive ha so the fetched window fits the array
     assert hb + r_out + (rows_in - tb - hb) <= rtotal
     n_total = rtotal * L
     kernel = _make_kernel(k, w, tb, hb, rows_in, n_total)
     tiles = r_out // tb
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=(
-            pl.BlockSpec((tb, L), lambda i, *_: (i, 0)),
-            pl.BlockSpec((tb, L), lambda i, *_: (i, 0)),
-            pl.BlockSpec((tb, L), lambda i, *_: (i, 0)),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((rows_in, L), jnp.uint8),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
-
-    def outer_kernel(tilemod_ref, codes_hbm, z_ref, clo_ref, chi_ref, scratch, sem):
-        tile = pl.program_id(0)
-        cp = pltpu.make_async_copy(
-            codes_hbm.at[pl.ds(tile * tb, rows_in), :],
-            scratch,
-            sem,
-        )
-        cp.start()
-        cp.wait()
-        kernel(tilemod_ref, scratch, z_ref, clo_ref, chi_ref)
-
-    tilemod = np.stack(
-        [
-            np.array([(i * tb * L) % 33 for i in range(tiles)], dtype=np.int32),
-            np.array([(i * tb * L) % 31 for i in range(tiles)], dtype=np.int32),
-            np.array([(i * tb * L) % w for i in range(tiles)], dtype=np.int32),
-        ],
-        axis=1,
-    )
-
-    z2d, lo2d, hi2d = pl.pallas_call(
-        outer_kernel,
+    # NOTE: this toolchain's Mosaic cannot compile *gridded* pallas kernels
+    # ("failed to legalize func.return"), so tiling happens at the XLA level:
+    # a grid-free kernel per tile, sequenced by lax.map over dynamic slices.
+    call = pl.pallas_call(
+        kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((r_out, L), i32),
-            jax.ShapeDtypeStruct((r_out, L), u32),
-            jax.ShapeDtypeStruct((r_out, L), u32),
+            jax.ShapeDtypeStruct((tb, L), i32),
+            jax.ShapeDtypeStruct((tb, L), u32),
+            jax.ShapeDtypeStruct((tb, L), u32),
         ),
-        grid_spec=grid_spec,
+        in_specs=[
+            pl.BlockSpec((1, 4), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
         interpret=interpret,
-    )(jnp.asarray(tilemod), codes_aug_2d)
+    )
+
+    def body(i):
+        base_row = i * tb
+        base = base_row * L
+        tile_codes = jax.lax.dynamic_slice(codes_aug_2d, (base_row, i32(0)), (rows_in, L))
+        scal = jnp.stack([base_row, base % 33, base % 31, base % w]).astype(i32).reshape(1, 4)
+        return call(scal, tile_codes)
+
+    z2d, lo2d, hi2d = jax.lax.map(body, jnp.arange(tiles, dtype=i32))
+    z2d = z2d.reshape(r_out, L)
+    lo2d = lo2d.reshape(r_out, L)
+    hi2d = hi2d.reshape(r_out, L)
 
     head_z = jnp.full((hb, L), i32(-1))
     head_u = jnp.zeros((hb, L), dtype=u32)
@@ -375,7 +360,5 @@ def phase1_shapes(total_bases: int, k: int, w: int, tb: int = 128):
     hb, ha = _halos(k, w)
     data_rows = max(1, -(-total_bases // L))
     r_out = max(tb, 1 << (data_rows - 1).bit_length())
-    # rows_in padding may read past r_out; cover it with the tail padding
-    rows_in_pad = (-(tb + hb + ha)) % 32
-    rtotal = hb + r_out + ha + rows_in_pad
+    rtotal = hb + r_out + ha
     return rtotal, rtotal * L, hb * L
