@@ -1,4 +1,6 @@
-"""Bisect which stage of the fused kernel breaks Mosaic compilation."""
+"""Bisect which stage of the (grid-free) fused kernel breaks Mosaic."""
+import re
+
 import numpy as np
 
 import seqwin_tpu  # noqa: F401
@@ -7,7 +9,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from seqwin_tpu.engine import pallas_scan as PS
 from seqwin_tpu.engine.pallas_scan import (
     L, _mod_const, _or_ladder, _sel_seed, _shl_flat, _shr_flat, _srol_pair,
     _take_right, _xor_ladder, i32, u32, _SENT,
@@ -16,21 +17,21 @@ from seqwin_tpu.ops.hashing import SEEDS, SEEDS_COMP
 
 K, W = 21, 200
 TB = 128
-ROWS_IN = 192  # tb + halos padded
+ROWS_IN = 136
 
 
 def build(stage):
-    def kernel(tilemod_ref, codes_ref, o1, o2):
-        tile = pl.program_id(0)
+    def kernel(scal_ref, codes_ref, o1, o2):
         raw = codes_ref[:].astype(i32)
         code = raw & i32(63)
         start = (raw & i32(64)) != 0
+        base_row = scal_ref[0, 0]
         rid = jax.lax.broadcasted_iota(i32, (ROWS_IN, L), 0)
         lid = jax.lax.broadcasted_iota(i32, (ROWS_IN, L), 1)
-        p = (tile * TB + rid) * L + lid
-        t33 = tilemod_ref[tile, 0]
-        t31 = tilemod_ref[tile, 1]
-        tw = tilemod_ref[tile, 2]
+        p = (base_row + rid) * L + lid
+        t33 = scal_ref[0, 1]
+        t31 = scal_ref[0, 2]
+        tw = scal_ref[0, 3]
         r33p = _mod_const(_mod_const(rid, 33, ROWS_IN) * (L % 33), 33, 33 * 33)
         r31p = _mod_const(_mod_const(rid, 31, ROWS_IN) * (L % 31), 31, 31 * 31)
         pm33 = _mod_const(t33 + r33p + _mod_const(lid, 33, L), 33, 3 * 33)
@@ -114,47 +115,32 @@ def build(stage):
 
 def main():
     rng = np.random.default_rng(0)
-    codes = rng.integers(0, 4, size=(TB * 2 + 64, L)).astype(np.uint8)
-    tiles = 2
-    tilemod = np.stack([
-        np.array([(i * TB * L) % 33 for i in range(tiles)], np.int32),
-        np.array([(i * TB * L) % 31 for i in range(tiles)], np.int32),
-        np.array([(i * TB * L) % W for i in range(tiles)], np.int32),
-    ], axis=1)
+    codes = rng.integers(0, 4, size=(ROWS_IN, L)).astype(np.uint8)
+    scal = np.array([[0, 0, 0, 0]], dtype=np.int32)
 
     for stage in ('mods', 'seeds', 'hash', 'valid', 'full'):
         kern = build(stage)
-
-        def outer(tm, hbm, o1, o2, scratch, sem):
-            tile = pl.program_id(0)
-            cp = pltpu.make_async_copy(hbm.at[pl.ds(tile * TB, ROWS_IN), :], scratch, sem)
-            cp.start()
-            cp.wait()
-            kern(tm, scratch, o1, o2)
-
-        gs = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(tiles,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=(
-                pl.BlockSpec((TB, L), lambda i, *_: (i, 0)),
-                pl.BlockSpec((TB, L), lambda i, *_: (i, 0)),
-            ),
-            scratch_shapes=[pltpu.VMEM((ROWS_IN, L), jnp.uint8), pltpu.SemaphoreType.DMA],
-        )
         try:
             out = pl.pallas_call(
-                outer,
+                kern,
                 out_shape=(
-                    jax.ShapeDtypeStruct((tiles * TB, L), jnp.int32),
-                    jax.ShapeDtypeStruct((tiles * TB, L), jnp.uint32),
+                    jax.ShapeDtypeStruct((TB, L), jnp.int32),
+                    jax.ShapeDtypeStruct((TB, L), jnp.uint32),
                 ),
-                grid_spec=gs,
-            )(jnp.asarray(tilemod), jnp.asarray(codes))
+                in_specs=[
+                    pl.BlockSpec((1, 4), memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                ],
+                out_specs=(
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                ),
+            )(jnp.asarray(scal), jnp.asarray(codes))
             np.asarray(out[0][:2, :2])
             print(f'STAGE {stage}: OK', flush=True)
         except Exception as e:
-            print(f'STAGE {stage}: FAIL {type(e).__name__} {str(e)[:100]}', flush=True)
+            m = re.search(r'(Mosaic failed|failed to legalize|Invalid|Recursion)[^\n]*', str(e))
+            print(f'STAGE {stage}: FAIL {(m.group(0) if m else str(e))[:110]}', flush=True)
 
 
 if __name__ == '__main__':

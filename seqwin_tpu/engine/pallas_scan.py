@@ -171,9 +171,11 @@ def _take_right(l_lo, l_hi, r_lo, r_hi):
 def _make_kernel(k: int, w: int, tb: int, hb: int, rows_in: int, n_total: int):
     def kernel(scal_ref, codes_ref, z_ref, clo_ref, chi_ref):
         # scal_ref (SMEM i32[1,4]): [base_row, base%33, base%31, base%w]
+        # NOTE: masks that get shifted/concatenated are kept in i32 -- bool
+        # vector relayouts crash this Mosaic ("Invalid vector register cast").
         raw = codes_ref[:].astype(i32)
         code = raw & i32(63)
-        start = (raw & i32(64)) != 0
+        start_i = (raw >> i32(6)) & i32(1)
 
         base_row = scal_ref[0, 0]
         rid = jax.lax.broadcasted_iota(i32, (rows_in, L), 0)
@@ -214,18 +216,20 @@ def _make_kernel(k: int, w: int, tb: int, hb: int, rows_in: int, n_total: int):
         carry = (c_lo < fwd_lo).astype(u32)
         c_hi = fwd_hi + rev_hi + carry
 
-        invalid = code > 3
-        bad = _or_ladder(invalid, k)
+        invalid_i = (code > 3).astype(i32)
+        bad_i = _or_ladder(invalid_i, k)
         if k > 1:
-            start_in = _or_ladder(_shl_flat(start, 1), k - 1)
+            start_in_i = _or_ladder(_shl_flat(start_i, 1), k - 1)
         else:
-            start_in = jnp.zeros_like(start)
-        valid = (~bad) & (~start_in) & (p <= i32(n_total - k))
+            start_in_i = jnp.zeros_like(start_i)
+        in_range_i = (p <= i32(n_total - k)).astype(i32)
+        valid_i = jnp.where((bad_i | start_in_i) == 0, in_range_i, i32(0))
+        valid = valid_i != 0
 
-        blocker = (~valid) | start
-        blk_fwd = _or_ladder(blocker, w)
-        has_blk_back = _shr_flat(blk_fwd, w - 1) if w > 1 else blocker
-        clean = valid & (p >= i32(w - 1)) & (~has_blk_back)
+        blocker_i = (i32(1) - valid_i) | start_i
+        blk_fwd_i = _or_ladder(blocker_i, w)
+        has_blk_back_i = _shr_flat(blk_fwd_i, w - 1) if w > 1 else blocker_i
+        clean = valid & (p >= i32(w - 1)) & (has_blk_back_i == 0)
 
         # segmented rightmost-argmin over w-aligned flat segments
         mh_lo = jnp.where(valid, c_lo, u32(_SENT))
