@@ -102,3 +102,22 @@ def test_build_uses_hybrid_and_matches_golden(ref_fixtures, fixture_paths, monke
     np.testing.assert_array_equal(edges, golden['edges'])
     for f in ('hash', 'start', 'stop', 'n_tar', 'n_neg'):
         np.testing.assert_array_equal(nodes[f], golden['nodes'][f])
+
+
+def test_hybrid_empty_and_tiny_records():
+    """Zero-length and sub-k records must keep record ordinals aligned
+    (duplicate start offsets resolve to the correct record via searchsorted)."""
+    k, w = 7, 4
+    rng = np.random.default_rng(21)
+    records = [
+        np.zeros(0, dtype=np.uint8),              # empty first
+        rng.integers(0, 4, 500).astype(np.uint8),
+        np.zeros(0, dtype=np.uint8),              # empty middle
+        rng.integers(0, 4, 3).astype(np.uint8),   # shorter than k
+        rng.integers(0, 4, 800).astype(np.uint8),
+        np.zeros(0, dtype=np.uint8),              # empty last
+    ]
+    e = _oracle_stream(records, k, w)
+    got = scan_records_hybrid(records, k, w)
+    for a, b in zip(got, e):
+        np.testing.assert_array_equal(a, b)
