@@ -371,10 +371,13 @@ def scan_chunk_device(
         use_pallas = jax.default_backend() in ('tpu', 'axon')
     else:
         use_pallas = mode == 'pallas'
+    # Pad every chunk of a run to the same bucket (min_chunk = the chunk
+    # budget): remote-compile round-trips dominate warmup, so one shape per
+    # program beats tighter padding.
     if use_pallas:
         from .pallas_scan import pallas_phase1, phase1_shapes
 
-        rtotal, n, offset = phase1_shapes(total, k, w)
+        rtotal, n, offset = phase1_shapes(max(total, min_chunk), k, w)
     else:
         n = max(min_chunk, next_pow2(total))
         offset = 0
@@ -425,7 +428,9 @@ def scan_chunk_device(
     patch_z_a[:len(irr_pos)] = patch_z
 
     mult = jnp.uint64(out_hash_mult(k))
-    emit_cap = min(max(1 << 12, next_pow2(int(2.5 * total / (w + 1)) + 64)), n)
+    # size the emission capacity from the padded buffer so all chunks of a
+    # run share one phase-2 shape
+    emit_cap = min(max(1 << 12, next_pow2(int(2.5 * n / (w + 1)) + 64)), n)
     while True:
         e_oh, e_pos, e_rec, count = scan_phase2(
             z_clean, canon, jnp.asarray(patch_pos_a), jnp.asarray(patch_z_a),

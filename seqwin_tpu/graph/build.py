@@ -95,6 +95,12 @@ def build(
 
     use_sort_engine = os.environ.get('SEQWIN_TPU_SCAN', 'hybrid') == 'sort'
     chunk_budget = LOW_MEMORY_CHUNK_BASES if low_memory else DEFAULT_CHUNK_BASES
+    # one compiled shape per run: pad all chunks to the same bucket, bounded
+    # by the dataset size (tiny datasets stay tiny)
+    total_bases = sum(
+        len(codes) for _, codes_list in parsed for codes in codes_list
+    )
+    shape_bucket = min(chunk_budget, 1 << max(16, (max(1, total_bases) - 1).bit_length()))
 
     chunk_results = []  # (e_oh, e_pos, e_rec, count) device arrays
     chunk_codes: list[np.ndarray] = []
@@ -120,7 +126,10 @@ def build(
             from ..engine.hybrid import scan_chunk_device
 
             chunk_results.append(
-                scan_chunk_device(chunk_codes, kmerlen, windowsize, chunk_rec_base)
+                scan_chunk_device(
+                    chunk_codes, kmerlen, windowsize, chunk_rec_base,
+                    min_chunk=shape_bucket,
+                )
             )
         chunk_rec_base += len(chunk_codes)
         chunk_codes, chunk_bases = [], 0
