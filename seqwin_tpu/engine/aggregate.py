@@ -22,7 +22,7 @@ and adjacency pairs never span records, so padding gaps are harmless.
 """
 from __future__ import annotations
 
-import functools
+
 
 import numpy as np
 

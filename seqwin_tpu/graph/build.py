@@ -23,7 +23,7 @@ from typing import Iterable
 import numpy as np
 
 from ..io.fasta import parse_fasta_codes
-from .dtypes import EDGE_DTYPE, KMER_DTYPE, NODE_DTYPE
+from .dtypes import KMER_DTYPE
 
 logger = logging.getLogger(__name__)
 
