@@ -55,3 +55,17 @@ def test_build_distributed_matches_build(fixture_paths):
     for a, b in zip(ref[:4], got[:4]):
         np.testing.assert_array_equal(a, b)
     assert ref[4] == got[4]
+
+
+def test_multihost_partition_contiguous_and_balanced():
+    from seqwin_tpu.parallel.multihost import partition_paths
+
+    paths = [f'g{i}' for i in range(10)]
+    sizes = [100, 50, 200, 10, 10, 300, 100, 100, 40, 90]
+    parts = [partition_paths(paths, sizes, 3, pid) for pid in range(3)]
+    # disjoint cover, contiguous
+    flat = [p for part in parts for p in part]
+    assert flat == paths
+    for part in parts:
+        idxs = [paths.index(p) for p in part]
+        assert idxs == list(range(min(idxs), max(idxs) + 1)) if idxs else True
