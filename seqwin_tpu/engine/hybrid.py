@@ -140,55 +140,29 @@ def scan_phase1(codes_aug, k: int, w: int):
     return z_clean, canon
 
 
-_EXTRACT_TILE = 1 << 14  # positions per extraction tile
-
-
-@functools.partial(jax.jit, static_argnames=('emit_cap', 'tile_cap'))
-def scan_phase2(z_clean, canon, patch_pos, patch_z, starts, mult, rec_base,
-                emit_cap: int, tile_cap: int):
-    """Device call 2: z-patch, emission prefix-max, hierarchical extraction,
-    and the final (record, position, out-hash) mapping -- all device-resident.
-
-    Emitted z values are strictly increasing along the stream, so emission
-    decomposes into an exclusive cummax per extraction tile plus a tiny
-    cross-tile carry, and extraction is a cheap per-tile top_k (tile_cap
-    candidates) followed by one small global top_k -- instead of a full-width
-    top_k over N.
+@functools.partial(jax.jit, static_argnames=('emit_cap',))
+def scan_phase2(z_clean, canon, patch_pos, patch_z, starts, mult, rec_base, emit_cap: int):
+    """Device call 2: z-patch, emission prefix-max, top_k extraction, and the
+    final (record, position, out-hash) mapping -- all device-resident so no
+    per-chunk host round-trip is needed.
 
     Args:
         starts: int32[S] record start offsets padded with a value > any
             position (used for the flat-position -> record searchsorted).
         mult: uint64 scalar, the derived-hash multiplier for this k.
-        rec_base: i32 scalar, global record index of this chunk's record 0.
-        tile_cap: static per-tile extraction capacity; ``max_tile`` in the
-            result reports the true per-tile maximum for overflow retry.
+        rec_base: int32 scalar, global record index of this chunk's record 0.
 
     Returns:
         (e_oh u64[emit_cap], e_pos u32[emit_cap], e_rec i32[emit_cap] (-1 pad),
-         count i32, max_tile i32)
+         count i32)
     """
     n = z_clean.shape[0]
     z = z_clean.at[patch_pos].set(patch_z, mode='drop')
-
-    b = _EXTRACT_TILE
-    pad = (-n) % b
-    zp = jnp.concatenate([z, jnp.full((pad,), i32(-1))]) if pad else z
-    t_rows = (n + pad) // b
-    z2 = zp.reshape(t_rows, b)
-
-    tile_max = jnp.max(z2, axis=1)
-    carry_excl = _shift_right(jax.lax.cummax(tile_max), 1, i32(-2))
-    in_tile_excl = jnp.concatenate(
-        [jnp.full((t_rows, 1), i32(-2)), jax.lax.cummax(z2, axis=1)[:, :-1]], axis=1
-    )
-    excl = jnp.maximum(in_tile_excl, carry_excl[:, None])
-    emit = (z2 >= 0) & (z2 > excl)
-    count = jnp.sum(emit.astype(i32))
-    max_tile = jnp.max(jnp.sum(emit.astype(i32), axis=1))
-
-    zz = jnp.where(emit, z2, i32(-1))
-    tile_top, _ = jax.lax.top_k(zz, tile_cap)  # (T, tile_cap) desc per tile
-    topv, _ = jax.lax.top_k(tile_top.reshape(-1), emit_cap)
+    cmax_excl = _shift_right(jax.lax.cummax(z), 1, i32(-2))
+    emit_win = (z >= 0) & (z > cmax_excl)
+    count = jnp.sum(emit_win.astype(i32))
+    zz = jnp.where(emit_win, z, i32(-1))
+    topv, _ = jax.lax.top_k(zz, emit_cap)
     asc = topv[::-1]
     n_pad = emit_cap - jnp.minimum(count, i32(emit_cap))
     eidx = jnp.roll(asc, -n_pad)
@@ -201,7 +175,7 @@ def scan_phase2(z_clean, canon, patch_pos, patch_z, starts, mult, rec_base,
     rec_local = jnp.clip(rec_local, 0, starts.shape[0] - 1)
     e_pos = jnp.where(live, eidx - starts[rec_local], i32(0)).astype(jnp.uint32)
     e_rec = jnp.where(live, rec_local + rec_base, i32(-1))
-    return e_oh, e_pos, e_rec, count, max_tile
+    return e_oh, e_pos, e_rec, count
 
 
 def _host_layout(record_codes: list[np.ndarray], n: int, offset: int = 0):
@@ -454,29 +428,18 @@ def scan_chunk_device(
     patch_z_a[:len(irr_pos)] = patch_z
 
     mult = jnp.uint64(out_hash_mult(k))
-    # size the emission capacities from the padded buffer so all chunks of a
+    # size the emission capacity from the padded buffer so all chunks of a
     # run share one phase-2 shape
     emit_cap = min(max(1 << 12, next_pow2(int(2.5 * n / (w + 1)) + 64)), n)
-    t_rows = max(1, -(-n // _EXTRACT_TILE))
-    tile_cap = min(
-        min(_EXTRACT_TILE, n),
-        max(
-            256,
-            next_pow2(int(2.5 * _EXTRACT_TILE / (w + 1)) + 64),
-            next_pow2(-(-emit_cap // t_rows)),  # 2nd-level top_k needs T*cap >= emit_cap
-        ),
-    )
     while True:
-        e_oh, e_pos, e_rec, count, max_tile = scan_phase2(
+        e_oh, e_pos, e_rec, count = scan_phase2(
             z_clean, canon, jnp.asarray(patch_pos_a), jnp.asarray(patch_z_a),
-            starts_j, mult, jnp.int32(rec_base), emit_cap, tile_cap,
+            starts_j, mult, jnp.int32(rec_base), emit_cap,
         )
         count = int(count)
-        max_tile = int(max_tile)
-        if count <= emit_cap and max_tile <= tile_cap:
+        if count <= emit_cap:
             return e_oh, e_pos, e_rec, count
-        emit_cap = max(emit_cap, next_pow2(count))
-        tile_cap = max(tile_cap, min(_EXTRACT_TILE, next_pow2(max_tile)))
+        emit_cap = next_pow2(count)
 
 
 def scan_records_hybrid(
