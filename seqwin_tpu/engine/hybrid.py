@@ -350,13 +350,19 @@ def scan_chunk_device(
     w: int,
     rec_base: int = 0,
     min_chunk: int = 1 << 16,
+    defer_sync: bool = False,
 ):
     """Scan one chunk; emitted minimizers stay device-resident.
+
+    With ``defer_sync`` the emitted count is returned as a device scalar and
+    no overflow check happens here -- the caller checks all counts at the end
+    and re-runs any overflowed chunk (`rescan_chunk`), which lets host prep of
+    the next chunk overlap device compute of this one.
 
     Returns:
         (e_oh, e_pos, e_rec) device arrays padded to the emission capacity
         (e_rec == -1 on padding; record ids are global via ``rec_base``), and
-        the exact emitted ``count`` (int).
+        the emitted ``count`` (int, or device scalar when defer_sync).
     """
     import os
 
@@ -431,6 +437,12 @@ def scan_chunk_device(
     # size the emission capacity from the padded buffer so all chunks of a
     # run share one phase-2 shape
     emit_cap = min(max(1 << 12, next_pow2(int(2.5 * n / (w + 1)) + 64)), n)
+    if defer_sync:
+        e_oh, e_pos, e_rec, count = scan_phase2(
+            z_clean, canon, jnp.asarray(patch_pos_a), jnp.asarray(patch_z_a),
+            starts_j, mult, jnp.int32(rec_base), emit_cap,
+        )
+        return e_oh, e_pos, e_rec, count  # count is a device scalar
     while True:
         e_oh, e_pos, e_rec, count = scan_phase2(
             z_clean, canon, jnp.asarray(patch_pos_a), jnp.asarray(patch_z_a),

@@ -103,6 +103,7 @@ def build(
     shape_bucket = min(chunk_budget, 1 << max(16, (max(1, total_bases) - 1).bit_length()))
 
     chunk_results = []  # (e_oh, e_pos, e_rec, count) device arrays
+    chunk_inputs = []   # (record list, rec_base) for overflow re-runs
     chunk_codes: list[np.ndarray] = []
     chunk_rec_base = 0
     chunk_bases = 0
@@ -125,12 +126,16 @@ def build(
         else:
             from ..engine.hybrid import scan_chunk_device
 
+            # deferred sync: device compute of this chunk overlaps host prep
+            # of the next; emission-capacity overflows are detected below and
+            # those chunks re-run synchronously (rare)
             chunk_results.append(
                 scan_chunk_device(
                     chunk_codes, kmerlen, windowsize, chunk_rec_base,
-                    min_chunk=shape_bucket,
+                    min_chunk=shape_bucket, defer_sync=True,
                 )
             )
+        chunk_inputs.append((chunk_codes, chunk_rec_base))
         chunk_rec_base += len(chunk_codes)
         chunk_codes, chunk_bases = [], 0
 
@@ -142,6 +147,23 @@ def build(
             chunk_bases += len(codes)
             rec_global += 1
     flush()
+
+    if not use_sort_engine:
+        from ..engine.hybrid import scan_chunk_device
+
+        resolved = []
+        for (recs, base), res in zip(chunk_inputs, chunk_results):
+            if res[0] is None:
+                resolved.append(res)
+                continue
+            count = int(res[3])
+            if count <= res[0].shape[0]:
+                resolved.append((res[0], res[1], res[2], count))
+            else:  # capacity overflow: re-run this chunk with exact sizing
+                resolved.append(scan_chunk_device(
+                    recs, kmerlen, windowsize, base, min_chunk=shape_bucket,
+                ))
+        chunk_results = resolved
 
     # --- aggregate (device sorts + host run-merge) ---
     from ..engine.aggregate import aggregate_device
