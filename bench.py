@@ -20,8 +20,8 @@ import numpy as np
 
 BASELINE_MIN_PER_S = 8_346_500 / 6.55  # reference: 4-thread CPU build
 
-N_GENOMES = int(os.environ.get('BENCH_GENOMES', '24'))
-GENOME_LEN = int(os.environ.get('BENCH_GENOME_LEN', str(2_000_000)))
+N_GENOMES = int(os.environ.get('BENCH_GENOMES', '64'))
+GENOME_LEN = int(os.environ.get('BENCH_GENOME_LEN', str(3_000_000)))
 K = 21
 W = 200
 
