@@ -58,6 +58,8 @@ def build(
         - record_offsets: uintp[A+1] cumulative record counts per assembly;
         - record_ids: per assembly, tuple of FASTA record ids.
     """
+    from time import time as _now
+
     paths = [str(p) for p in assembly_paths]
     targets = [bool(t) for t in is_targets]
     if len(paths) != len(targets):
@@ -69,12 +71,14 @@ def build(
         return _build_numpy(paths, kmerlen, windowsize, targets, n_cpu)
 
     # --- ingest (parallel across files) ---
+    _t0 = _now()
     n_workers = max(1, min(int(n_cpu), len(paths) or 1))
     if n_workers > 1:
         with ThreadPoolExecutor(max_workers=n_workers) as ex:
             parsed = list(ex.map(parse_fasta_codes, paths))
     else:
         parsed = [parse_fasta_codes(p) for p in paths]
+    logger.debug(f'build: ingest {_now() - _t0:.2f}s')
 
     record_ids: list[tuple[str, ...]] = []
     record_offsets = [0]
@@ -139,6 +143,7 @@ def build(
         chunk_rec_base += len(chunk_codes)
         chunk_codes, chunk_bases = [], 0
 
+    _t0 = _now()
     for ids, codes_list in parsed:
         for codes in codes_list:
             if chunk_bases + len(codes) > chunk_budget and chunk_codes:
@@ -147,7 +152,9 @@ def build(
             chunk_bases += len(codes)
             rec_global += 1
     flush()
+    logger.debug(f'build: scan dispatch {_now() - _t0:.2f}s ({len(chunk_results)} chunks)')
 
+    _t0 = _now()
     if not use_sort_engine:
         from ..engine.hybrid import scan_chunk_device
 
@@ -164,13 +171,16 @@ def build(
                     recs, kmerlen, windowsize, base, min_chunk=shape_bucket,
                 ))
         chunk_results = resolved
+    logger.debug(f'build: scan resolve {_now() - _t0:.2f}s')
 
     # --- aggregate (device sorts + host run-merge) ---
     from ..engine.aggregate import aggregate_device
 
+    _t0 = _now()
     kmers, nodes, edges = aggregate_device(
         chunk_results, offsets, np.asarray(targets, dtype=bool)
     )
+    logger.debug(f'build: aggregate {_now() - _t0:.2f}s')
     return kmers, nodes, edges, offsets, record_ids
 
 
