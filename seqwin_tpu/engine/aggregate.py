@@ -2,14 +2,16 @@
 
 TPU-native replacement for the reference's hash-map upserts + parallel LSD
 radix sort + run-merge (`/root/reference/cpp/src/seqwin/graph.cpp:127-159`,
-`/root/reference/cpp/src/seqwin/helpers.cpp:78-297`). The device does the
-heavy O(M log M) work as stable multi-key `lax.sort`s; the host finishes with
-vectorized NumPy run-length passes (boundary detection + `add.reduceat`),
-preserving the reference output contract exactly:
+`/root/reference/cpp/src/seqwin/helpers.cpp:78-297`). The device does all the
+O(M log M) work: stable multi-key `lax.sort`s, run boundaries, cumulative-sum
+differences for the per-(hash, assembly)-deduplicated counts, and boundary
+extraction via top_k (the host RAM on this machine is far slower than HBM, so
+even the run-length merge lives on device). The host only assembles the final
+structured arrays. Output contract is exactly the reference's:
 
 - nodes sorted by hash ascending; k-mers grouped per node in global
-  (assembly, record, pos) scan order (guaranteed by the stable sort over the
-  scan-ordered stream);
+  (assembly, record, pos) scan order (stable sort over the scan-ordered
+  stream);
 - per-(hash, assembly) deduplicated n_tar / n_neg counts
   (`graph.cpp:130-137` once-per-assembly semantics);
 - undirected edges canonicalized u <= v, weight = number of assemblies where
@@ -22,7 +24,7 @@ and adjacency pairs never span records, so padding gaps are harmless.
 """
 from __future__ import annotations
 
-
+import functools
 
 import numpy as np
 
@@ -31,32 +33,101 @@ import jax.numpy as jnp
 
 from ..graph.dtypes import EDGE_DTYPE, KMER_DTYPE, NODE_DTYPE
 
+i32 = jnp.int32
+i64 = jnp.int64
 
-@jax.jit
-def _sort_entries(oh, pos, rec, asm):
-    """Stable sort of the minimizer stream by hash (scan order preserved)."""
+
+def _extract_ascending(flags, values, cap: int):
+    """Indices (ascending) of set flags, -1-padded at the end, via top_k."""
+    n = flags.shape[0]
+    z = jnp.where(flags, values, i32(-1))
+    cnt = jnp.sum(flags.astype(i32))
+    topv, _ = jax.lax.top_k(z, cap)
+    asc = topv[::-1]
+    n_pad = cap - jnp.minimum(cnt, i32(cap))
+    return jnp.roll(asc, -n_pad), cnt
+
+
+@functools.partial(jax.jit, static_argnames=('node_cap',))
+def _merge_nodes(oh, pos, rec, asm, is_target, m, node_cap: int):
+    """Sort the stream by hash and reduce runs into node records on device.
+
+    Returns sorted (pos, rec) [the kmers array], per-node
+    (hash, start, stop, n_tar, n_neg) padded to node_cap, and counts.
+    """
     pad = (rec < 0).astype(jnp.uint8)
-    return jax.lax.sort((pad, oh, pos, rec, asm), num_keys=2, is_stable=True)
+    _, s_oh, s_pos, s_rec, s_asm = jax.lax.sort(
+        (pad, oh, pos, rec, asm), num_keys=2, is_stable=True
+    )
+    n = s_oh.shape[0]
+    idx = jnp.arange(n, dtype=i32)
+    real = idx < m
+
+    prev_oh = jnp.concatenate([s_oh[:1], s_oh[:-1]])
+    prev_asm = jnp.concatenate([jnp.full((1,), i32(-1)), s_asm[:-1]])
+    boundary = real & ((idx == 0) | (s_oh != prev_oh))
+    first_occ = real & (boundary | (s_asm != prev_asm))
+
+    tgt = is_target[jnp.clip(s_asm, 0, is_target.shape[0] - 1)]
+    tar_flag = (first_occ & tgt).astype(i32)
+    neg_flag = (first_occ & ~tgt).astype(i32)
+    csum_tar = jnp.cumsum(tar_flag)
+    csum_neg = jnp.cumsum(neg_flag)
+
+    starts, n_nodes = _extract_ascending(boundary, idx, node_cap)
+    live = starts >= 0
+    safe = jnp.clip(starts, 0, n - 1)
+    stops = jnp.concatenate([safe[1:], jnp.full((1,), i32(0))])
+    stops = jnp.where(jnp.concatenate([live[1:], jnp.full((1,), False)]), stops, m)
+    stops = jnp.where(live, stops, i32(0))
+
+    node_hash = jnp.where(live, s_oh[safe], jnp.uint64(0))
+    # inclusive cumsum diff: sum over [start, stop) = csum[stop-1] - csum[start-1]
+    c_at_stop_t = csum_tar[jnp.clip(stops - 1, 0, n - 1)]
+    c_at_start_t = jnp.where(safe > 0, csum_tar[jnp.clip(safe - 1, 0, n - 1)], i32(0))
+    c_at_stop_n = csum_neg[jnp.clip(stops - 1, 0, n - 1)]
+    c_at_start_n = jnp.where(safe > 0, csum_neg[jnp.clip(safe - 1, 0, n - 1)], i32(0))
+    n_tar = jnp.where(live, c_at_stop_t - c_at_start_t, i32(0))
+    n_neg = jnp.where(live, c_at_stop_n - c_at_start_n, i32(0))
+
+    return s_pos, s_rec, node_hash, jnp.where(live, starts, i32(0)), stops, n_tar, n_neg, n_nodes
 
 
-@jax.jit
-def _edge_triples(oh, rec, asm):
-    """Adjacent-pair edge triples (u, v, asm) with validity, sorted."""
+@functools.partial(jax.jit, static_argnames=('edge_cap',))
+def _merge_edges(oh, rec, asm, edge_cap: int):
+    """Canonicalized adjacent-pair edges with per-assembly dedup, on device."""
     adj = (rec[:-1] == rec[1:]) & (rec[:-1] >= 0)
     u = jnp.minimum(oh[:-1], oh[1:])
     v = jnp.maximum(oh[:-1], oh[1:])
     pad = (~adj).astype(jnp.uint8)
-    return jax.lax.sort((pad, u, v, asm[:-1]), num_keys=4, is_stable=False)
+    _, t_u, t_v, t_a = jax.lax.sort(
+        (pad, u, v, asm[:-1]), num_keys=4, is_stable=False
+    )
+    n = t_u.shape[0]
+    n_adj = jnp.sum(adj.astype(i32))
+    idx = jnp.arange(n, dtype=i32)
+    real = idx < n_adj
 
+    prev_u = jnp.concatenate([t_u[:1], t_u[:-1]])
+    prev_v = jnp.concatenate([t_v[:1], t_v[:-1]])
+    prev_a = jnp.concatenate([jnp.full((1,), i32(-1)), t_a[:-1]])
+    new_edge = real & ((idx == 0) | (t_u != prev_u) | (t_v != prev_v))
+    new_triple = real & (new_edge | (t_a != prev_a))
+    csum = jnp.cumsum(new_triple.astype(i32))
 
-def _pad_pow2(arrs, m, fills):
-    cap = 1 << max(10, (m - 1).bit_length())
-    out = []
-    for a, fill in zip(arrs, fills):
-        buf = np.full(cap, fill, dtype=a.dtype)
-        buf[:m] = a
-        out.append(buf)
-    return out
+    starts, n_edges = _extract_ascending(new_edge, idx, edge_cap)
+    live = starts >= 0
+    safe = jnp.clip(starts, 0, n - 1)
+    stops = jnp.concatenate([safe[1:], jnp.full((1,), i32(0))])
+    stops = jnp.where(jnp.concatenate([live[1:], jnp.full((1,), False)]), stops, n_adj)
+    stops = jnp.where(live, stops, i32(0))
+
+    e_first = jnp.where(live, t_u[safe], jnp.uint64(0))
+    e_second = jnp.where(live, t_v[safe], jnp.uint64(0))
+    c_stop = csum[jnp.clip(stops - 1, 0, n - 1)]
+    c_start = jnp.where(safe > 0, csum[jnp.clip(safe - 1, 0, n - 1)], i32(0))
+    weight = jnp.where(live, c_stop - c_start, i32(0))
+    return e_first, e_second, weight, n_edges
 
 
 def aggregate_device(
@@ -74,7 +145,7 @@ def aggregate_device(
         is_target: bool[A].
     """
     chunks = [c for c in chunks if c[0] is not None]
-    m = int(sum(c[3] for c in chunks))
+    m = int(sum(int(c[3]) for c in chunks))
     if m == 0:
         return (np.zeros(0, KMER_DTYPE), np.zeros(0, NODE_DTYPE), np.zeros(0, EDGE_DTYPE))
 
@@ -82,60 +153,43 @@ def aggregate_device(
     pos = jnp.concatenate([c[1] for c in chunks])
     rec = jnp.concatenate([c[2] for c in chunks])
     offsets_j = jnp.asarray(np.asarray(record_offsets, dtype=np.int64))
-    asm = (jnp.searchsorted(offsets_j, rec.astype(jnp.int64), side='right') - 1).astype(jnp.int32)
+    asm = (jnp.searchsorted(offsets_j, rec.astype(i64), side='right') - 1).astype(i32)
+    tmask = jnp.asarray(np.asarray(is_target, dtype=bool))
 
-    _, s_oh_j, s_pos_j, s_rec_j, s_asm_j = _sort_entries(oh, pos, rec, asm)
-    s_oh = np.asarray(s_oh_j[:m])
-    s_pos = np.asarray(s_pos_j[:m])
-    s_rec = np.asarray(s_rec_j[:m])
-    s_asm = np.asarray(s_asm_j[:m])
+    n_padded = int(oh.shape[0])
+    node_cap = min(1 << max(12, (max(1, m // 4) - 1).bit_length()), n_padded)
+    while True:
+        (s_pos, s_rec, node_hash, n_starts, n_stops, n_tar, n_neg, n_nodes) = _merge_nodes(
+            oh, pos, rec, asm, tmask, i32(m), node_cap
+        )
+        n_nodes = int(n_nodes)
+        if n_nodes <= node_cap:
+            break
+        node_cap = min(1 << (n_nodes - 1).bit_length(), n_padded)
 
-    is_target = np.asarray(is_target, dtype=bool)
-    boundary = np.empty(m, dtype=bool)
-    boundary[0] = True
-    boundary[1:] = s_oh[1:] != s_oh[:-1]
-    starts = np.flatnonzero(boundary)
-    stops = np.append(starts[1:], m)
-
-    first_occ = boundary.copy()
-    first_occ[1:] |= s_asm[1:] != s_asm[:-1]
-    tar = first_occ & is_target[s_asm]
-    neg = first_occ & ~is_target[s_asm]
-    n_tar = np.add.reduceat(tar.astype(np.uint32), starts)
-    n_neg = np.add.reduceat(neg.astype(np.uint32), starts)
+    edge_cap = min(node_cap * 4, n_padded - 1) if n_padded > 1 else 1
+    while True:
+        e_first, e_second, e_weight, n_edges = _merge_edges(oh, rec, asm, edge_cap)
+        n_edges = int(n_edges)
+        if n_edges <= edge_cap:
+            break
+        edge_cap = min(1 << (n_edges - 1).bit_length(), n_padded - 1)
 
     kmers = np.zeros(m, dtype=KMER_DTYPE)
-    kmers['pos'] = s_pos
-    kmers['record_idx'] = s_rec.astype(np.uint32)
-    nodes = np.zeros(len(starts), dtype=NODE_DTYPE)
-    nodes['hash'] = s_oh[starts]
-    nodes['start'] = starts
-    nodes['stop'] = stops
-    nodes['n_tar'] = n_tar
-    nodes['n_neg'] = n_neg
+    kmers['pos'] = np.asarray(s_pos[:m])
+    kmers['record_idx'] = np.asarray(s_rec[:m]).astype(np.uint32)
 
-    # ---- edges (adjacent pairs; padding gaps never pair: records don't span) ----
-    _, t_u_j, t_v_j, t_a_j = _edge_triples(oh, rec, asm)
-    # number of adjacent pairs: within each chunk, count-1 per chunk minus
-    # record breaks -- cheapest exact source is the sorted pad key itself
-    n_adj = int(np.asarray(jnp.sum((rec[:-1] == rec[1:]) & (rec[:-1] >= 0))))
-    t_u = np.asarray(t_u_j[:n_adj])
-    t_v = np.asarray(t_v_j[:n_adj])
-    t_a = np.asarray(t_a_j[:n_adj])
-    if n_adj:
-        new_edge = np.empty(n_adj, dtype=bool)
-        new_edge[0] = True
-        new_edge[1:] = (t_u[1:] != t_u[:-1]) | (t_v[1:] != t_v[:-1])
-        new_triple = new_edge.copy()
-        new_triple[1:] |= t_a[1:] != t_a[:-1]
-        e_starts = np.flatnonzero(new_edge)
-        weights = np.add.reduceat(new_triple.astype(np.uint64), e_starts)
-        edges = np.zeros(len(e_starts), dtype=EDGE_DTYPE)
-        edges['first'] = t_u[e_starts]
-        edges['second'] = t_v[e_starts]
-        edges['weight'] = weights
-    else:
-        edges = np.zeros(0, dtype=EDGE_DTYPE)
+    nodes = np.zeros(n_nodes, dtype=NODE_DTYPE)
+    nodes['hash'] = np.asarray(node_hash[:n_nodes])
+    nodes['start'] = np.asarray(n_starts[:n_nodes])
+    nodes['stop'] = np.asarray(n_stops[:n_nodes])
+    nodes['n_tar'] = np.asarray(n_tar[:n_nodes])
+    nodes['n_neg'] = np.asarray(n_neg[:n_nodes])
+
+    edges = np.zeros(n_edges, dtype=EDGE_DTYPE)
+    edges['first'] = np.asarray(e_first[:n_edges])
+    edges['second'] = np.asarray(e_second[:n_edges])
+    edges['weight'] = np.asarray(e_weight[:n_edges])
 
     return kmers, nodes, edges
 
@@ -154,10 +208,8 @@ def aggregate(
     if m == 0:
         return (np.zeros(0, KMER_DTYPE), np.zeros(0, NODE_DTYPE), np.zeros(0, EDGE_DTYPE))
     if record_offsets is None:
-        # fallback: treat every record as its own assembly boundary via asm;
-        # offsets must satisfy searchsorted(offsets, rec, 'right')-1 == asm,
-        # which holds when each assembly's records are the contiguous range
-        # [offsets[a], offsets[a+1]). Reconstruct from the (rec, asm) pairs.
+        # fallback: reconstruct contiguous per-assembly record ranges from the
+        # (rec, asm) pairs (each assembly's records are a contiguous range)
         n_asm = len(is_target)
         record_offsets = np.zeros(n_asm + 1, dtype=np.int64)
         hi = -1
@@ -166,8 +218,10 @@ def aggregate(
             if len(sel):
                 hi = max(hi, int(sel.max()))
             record_offsets[a + 1] = hi + 1
-    p_oh, p_pos, p_rec = _pad_pow2(
-        (oh, pos, rec), m, (0, 0, -1)
-    )
+    cap = 1 << max(10, (m - 1).bit_length())
+    p_oh = np.zeros(cap, np.uint64)
+    p_pos = np.zeros(cap, np.uint32)
+    p_rec = np.full(cap, -1, np.int32)
+    p_oh[:m], p_pos[:m], p_rec[:m] = oh, pos, rec
     chunk = (jnp.asarray(p_oh), jnp.asarray(p_pos), jnp.asarray(p_rec), m)
     return aggregate_device([chunk], np.asarray(record_offsets), is_target)
