@@ -1,0 +1,54 @@
+"""Aggregation capacity-retry paths + randomized build-vs-oracle sweep."""
+import numpy as np
+import pytest
+
+from seqwin_tpu.graph import build
+
+
+def test_node_and_edge_cap_retry(tmp_path):
+    """A mostly-unique-hash stream (random genome, tiny w) overflows the
+    initial node/edge capacity guesses and must retry correctly."""
+    rng = np.random.default_rng(3)
+    alphabet = np.array(list('ACGT'))
+    paths = []
+    for i in range(2):
+        seq = ''.join(rng.choice(alphabet, 200_000))
+        p = tmp_path / f'g{i}.fasta'
+        p.write_text(f'>g{i}\n{seq}\n')
+        paths.append(p)
+    kmers, nodes, edges, offsets, _ = build(paths, 11, 3, [True, False])
+    ref = build(paths, 11, 3, [True, False], backend='numpy')
+    np.testing.assert_array_equal(kmers, ref[0])
+    for f in ('hash', 'start', 'stop', 'n_tar', 'n_neg'):
+        np.testing.assert_array_equal(nodes[f], ref[1][f])
+    np.testing.assert_array_equal(edges, ref[2])
+    # sanity: node count is large relative to the stream (near-unique hashes)
+    assert len(nodes) > len(kmers) * 0.5
+
+
+@pytest.mark.parametrize('seed', range(4))
+def test_build_fuzz_vs_oracle(tmp_path, seed):
+    rng = np.random.default_rng(100 + seed)
+    k = int(rng.integers(3, 28))
+    w = int(rng.integers(1, 48))
+    alphabet = np.array(list('ACGTN'))
+    paths, targets = [], []
+    n_asm = int(rng.integers(2, 5))
+    for i in range(n_asm):
+        n_rec = int(rng.integers(1, 4))
+        recs = []
+        for r in range(n_rec):
+            L = int(rng.integers(10, 4000))
+            probs = [0.24, 0.24, 0.24, 0.24, 0.04]
+            recs.append(''.join(rng.choice(alphabet, L, p=probs)))
+        p = tmp_path / f's{seed}_g{i}.fasta'
+        p.write_text(''.join(f'>r{r}\n{s}\n' for r, s in enumerate(recs)))
+        paths.append(p)
+        targets.append(i % 2 == 0)
+    got = build(paths, k, w, targets)
+    ref = build(paths, k, w, targets, backend='numpy')
+    np.testing.assert_array_equal(got[0], ref[0])
+    for f in ('hash', 'start', 'stop', 'n_tar', 'n_neg'):
+        np.testing.assert_array_equal(got[1][f], ref[1][f])
+    np.testing.assert_array_equal(got[2], ref[2])
+    np.testing.assert_array_equal(got[3], ref[3])
