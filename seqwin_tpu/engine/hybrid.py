@@ -178,6 +178,21 @@ def scan_phase2(z_clean, canon, patch_pos, patch_z, starts, mult, rec_base, emit
     return e_oh, e_pos, e_rec, count
 
 
+@functools.partial(jax.jit, static_argnames=('n', 'offset'))
+def _unpack_aug(packed, starts, inv, stream_end, n: int, offset: int):
+    """Reconstruct the augmented code stream from a 2-bit packed transfer:
+    unpack 4 bases/byte, mask the front/back padding, restore invalid bases
+    (sparse), and set the record-start flag (bit 6, sparse)."""
+    shifts = jnp.arange(4, dtype=jnp.uint8) * jnp.uint8(2)
+    c = ((packed[:, None] >> shifts[None, :]) & jnp.uint8(3)).reshape(-1)
+    iota = jnp.arange(n, dtype=i32)
+    pad = (iota < i32(offset)) | (iota >= stream_end)
+    c = jnp.where(pad, jnp.uint8(255), c)
+    c = c.at[inv].set(jnp.uint8(255), mode='drop')
+    c = c.at[starts].add(jnp.uint8(64), mode='drop')
+    return c
+
+
 def _host_layout(record_codes: list[np.ndarray], n: int, offset: int = 0):
     """Concatenate records at ``offset``; per-base codes + record-start offsets."""
     codes = np.full(n, 255, dtype=np.uint8)
@@ -326,15 +341,9 @@ def _host_irregular(codes: np.ndarray, starts: np.ndarray, k: int, w: int, n: in
     return irr_pos.astype(np.int32), members
 
 
-def _host_patch_z(codes: np.ndarray, members: np.ndarray, k: int):
-    """Exact rightmost-argmin per irregular window; hashes computed on host
-    (`ops/host_hash.py`), no device round-trip."""
-    if members.size == 0:
-        return np.zeros(0, np.int32)
-    from ..ops.host_hash import canon_at
-
+def _patch_from_mh(mh: np.ndarray, members: np.ndarray):
+    """Rightmost-argmin per irregular window given member hashes."""
     w = members.shape[1]
-    mh = canon_at(codes, members.ravel(), k).reshape(-1, w)
     rev = mh[:, ::-1]
     j = np.argmin(rev, axis=1)  # first min in reversed = rightmost min
     q = np.arange(len(members))
@@ -342,6 +351,27 @@ def _host_patch_z(codes: np.ndarray, members: np.ndarray, k: int):
     minval = rev[q, j]
     z = np.where(minval == np.uint64(0xFFFFFFFFFFFFFFFF), -1, z)
     return z.astype(np.int32)
+
+
+def _host_patch_z(codes: np.ndarray, members: np.ndarray, k: int):
+    """Exact rightmost-argmin per irregular window; hashes computed on host
+    (`ops/host_hash.py`), no device round-trip."""
+    if members.size == 0:
+        return np.zeros(0, np.int32)
+    from ..ops.host_hash import canon_at
+
+    mh = canon_at(codes, members.ravel(), k).reshape(-1, members.shape[1])
+    return _patch_from_mh(mh, members)
+
+
+def _host_patch_z_packed(packed: np.ndarray, members: np.ndarray, k: int):
+    """`_host_patch_z` over a 2-bit packed stream."""
+    if members.size == 0:
+        return np.zeros(0, np.int32)
+    from ..ops.host_hash import canon_at_packed
+
+    mh = canon_at_packed(packed, members.ravel(), k).reshape(-1, members.shape[1])
+    return _patch_from_mh(mh, members)
 
 
 def scan_chunk_device(
@@ -389,22 +419,38 @@ def scan_chunk_device(
         offset = 0
     stream_end = offset + total
 
-    # augmented layout (bit 6 = record start); native memcpy path when built
+    # layout: native packed transfer (2 bits/base + sparse exceptions) when
+    # the C++ library is available, else the plain augmented byte stream
     from ..io import native
 
-    laid = native.layout_chunk(record_codes, n, offset)
+    laid = native.layout_chunk_packed(record_codes, n, offset) if n % 4 == 0 else None
     if laid is not None:
-        codes, starts, inv_rec = laid
+        packed, starts, inv_rec = laid
         inv_points = np.concatenate([np.arange(offset, dtype=np.int64), inv_rec])
+        irr_pos, members = _host_irregular(
+            None, starts, k, w, n, total=stream_end, inv_points=inv_points
+        )
+        patch_z = _host_patch_z_packed(packed, members, k)
+
+        starts_u = np.unique(starts)  # empty records share start offsets
+        sucap = max(64, next_pow2(len(starts_u)))
+        starts_ua = np.full(sucap, n, dtype=np.int32)
+        starts_ua[:len(starts_u)] = starts_u
+        icap = max(256, next_pow2(len(inv_rec) or 1))
+        inv_a = np.full(icap, n, dtype=np.int32)
+        inv_a[:len(inv_rec)] = inv_rec
+        codes_aug = _unpack_aug(
+            jnp.asarray(packed), jnp.asarray(starts_ua), jnp.asarray(inv_a),
+            jnp.int32(stream_end), n, offset,
+        )
     else:
         codes, starts = _host_layout(record_codes, n, offset=offset)
         codes[starts] |= 64
-        inv_points = None
-
-    irr_pos, members = _host_irregular(
-        codes, starts, k, w, n, total=stream_end, inv_points=inv_points
-    )
-    patch_z = _host_patch_z(codes, members, k)
+        irr_pos, members = _host_irregular(
+            codes, starts, k, w, n, total=stream_end, inv_points=None
+        )
+        patch_z = _host_patch_z(codes, members, k)
+        codes_aug = jnp.asarray(codes)
 
     scap = max(64, next_pow2(len(starts)))
     starts_a = np.full(scap, n, dtype=np.int32)
@@ -416,7 +462,7 @@ def scan_chunk_device(
         from .pallas_scan import L as _LANES
 
         z_clean, c_lo, c_hi = pallas_phase1(
-            codes.reshape(rtotal, _LANES), k, w, interpret=interpret
+            codes_aug.reshape(rtotal, _LANES), k, w, interpret=interpret
         )
         canon = c_lo.astype(_U64) | (c_hi.astype(_U64) << _u64(32))
         # pallas output omits trailing halo rows; pad z/canon back to n
@@ -425,7 +471,7 @@ def scan_chunk_device(
             z_clean = jnp.concatenate([z_clean, jnp.full((tail,), i32(-1))])
             canon = jnp.concatenate([canon, jnp.zeros((tail,), dtype=_U64)])
     else:
-        z_clean, canon = scan_phase1(jnp.asarray(codes), k, w)
+        z_clean, canon = scan_phase1(codes_aug, k, w)
 
     pcap = max(256, next_pow2(len(irr_pos) or 1))
     patch_pos_a = np.full(pcap, n, dtype=np.int32)

@@ -80,8 +80,7 @@ def _load() -> ctypes.CDLL | None:
         lib.sq_record_id.restype = ctypes.c_char_p
         lib.sq_record_id.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
         lib.sq_free.argtypes = [ctypes.c_void_p]
-        lib.sq_layout_chunk.restype = ctypes.c_uint64
-        lib.sq_layout_chunk.argtypes = [
+        _layout_args = [
             ctypes.POINTER(ctypes.c_void_p),  # recs
             ctypes.POINTER(ctypes.c_uint64),  # lens
             ctypes.c_uint64,                  # n_recs
@@ -92,6 +91,10 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_int64),   # inv_out
             ctypes.c_uint64,                  # inv_cap
         ]
+        lib.sq_layout_chunk.restype = ctypes.c_uint64
+        lib.sq_layout_chunk.argtypes = _layout_args
+        lib.sq_layout_chunk_packed.restype = ctypes.c_uint64
+        lib.sq_layout_chunk_packed.argtypes = _layout_args
         _lib = lib
         return _lib
 
@@ -130,6 +133,40 @@ def layout_chunk(record_codes, n: int, offset: int):
         )
         if n_inv <= inv_cap:
             return buf, starts, inv[:n_inv]
+        inv_cap = int(n_inv)
+
+
+def layout_chunk_packed(record_codes, n: int, offset: int):
+    """Native packed chunk layout: 2-bit codes (4/byte), record starts, and
+    invalid-base positions. None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    assert n % 4 == 0
+    n_recs = len(record_codes)
+    recs = (ctypes.c_void_p * n_recs)()
+    lens = (ctypes.c_uint64 * n_recs)()
+    keepalive = []
+    total = 0
+    for i, c in enumerate(record_codes):
+        c = np.ascontiguousarray(c, dtype=np.uint8)
+        keepalive.append(c)
+        recs[i] = c.ctypes.data
+        lens[i] = len(c)
+        total += len(c)
+    packed = np.empty(n // 4, dtype=np.uint8)
+    starts = np.empty(n_recs, dtype=np.int64)
+    inv_cap = max(1024, total // 16)
+    while True:
+        inv = np.empty(inv_cap, dtype=np.int64)
+        n_inv = lib.sq_layout_chunk_packed(
+            recs, lens, n_recs,
+            packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, offset,
+            starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            inv.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), inv_cap,
+        )
+        if n_inv <= inv_cap:
+            return packed, starts, inv[:n_inv]
         inv_cap = int(n_inv)
 
 

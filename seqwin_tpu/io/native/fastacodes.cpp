@@ -188,4 +188,40 @@ uint64_t sq_layout_chunk(
     return n_inv;
 }
 
+// Packed variant: 2-bit base codes, 4 bases per byte (little-endian within
+// the byte). Invalid bases are stored as code 0 and reported via inv_out;
+// record-start flags are NOT encoded (the caller applies them on device).
+// The caller masks [0, offset) and [offset+total, n) itself.
+uint64_t sq_layout_chunk_packed(
+    const uint8_t** recs,
+    const uint64_t* lens,
+    uint64_t n_recs,
+    uint8_t* packed,
+    uint64_t n,  // total positions; must be a multiple of 4
+    uint64_t offset,
+    int64_t* starts_out,
+    int64_t* inv_out,
+    uint64_t inv_cap) {
+    std::memset(packed, 0, n / 4);
+    uint64_t off = offset;
+    uint64_t n_inv = 0;
+    for (uint64_t r = 0; r < n_recs; ++r) {
+        starts_out[r] = (int64_t)off;
+        const uint8_t* src = recs[r];
+        uint64_t len = lens[r];
+        for (uint64_t i = 0; i < len; ++i) {
+            uint8_t c = src[i];
+            uint64_t p = off + i;
+            if (c > 3) {
+                if (n_inv < inv_cap) inv_out[n_inv] = (int64_t)p;
+                ++n_inv;
+                c = 0;
+            }
+            packed[p >> 2] |= (uint8_t)(c << ((p & 3) * 2));
+        }
+        off += len;
+    }
+    return n_inv;
+}
+
 }  // extern "C"

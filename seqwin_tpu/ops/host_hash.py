@@ -34,15 +34,29 @@ def _tables(k: int) -> tuple[np.ndarray, np.ndarray]:
     return fwd, rev
 
 
+def _canon_from_codes(c: np.ndarray, k: int) -> np.ndarray:
+    fwd_tab, rev_tab = _tables(k)
+    fwd = np.bitwise_xor.reduce(fwd_tab[np.arange(k)[None, :], c], axis=1)
+    rev = np.bitwise_xor.reduce(rev_tab[np.arange(k)[None, :], c], axis=1)
+    return fwd + rev  # u64 wraps
+
+
 def canon_at(codes: np.ndarray, positions: np.ndarray, k: int) -> np.ndarray:
     """Canonical ntHash of the k-mers starting at ``positions`` (all of which
     must be valid, i.e. k in-bounds ACGT bases)."""
     if len(positions) == 0:
         return np.zeros(0, dtype=np.uint64)
-    fwd_tab, rev_tab = _tables(k)
     offs = positions[:, None].astype(np.int64) + np.arange(k, dtype=np.int64)[None, :]
     # strip the record-start flag (bit 6); anything non-ACGT clamps to col 4
     c = np.minimum(codes[offs] & np.uint8(63), 4).astype(np.int64)
-    fwd = np.bitwise_xor.reduce(fwd_tab[np.arange(k)[None, :], c], axis=1)
-    rev = np.bitwise_xor.reduce(rev_tab[np.arange(k)[None, :], c], axis=1)
-    return fwd + rev  # u64 wraps
+    return _canon_from_codes(c, k)
+
+
+def canon_at_packed(packed: np.ndarray, positions: np.ndarray, k: int) -> np.ndarray:
+    """Like `canon_at` but reading a 2-bit packed stream (4 bases/byte).
+    All referenced positions must be valid ACGT bases."""
+    if len(positions) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    offs = positions[:, None].astype(np.int64) + np.arange(k, dtype=np.int64)[None, :]
+    c = ((packed[offs >> 2] >> ((offs & 3) * 2).astype(np.uint8)) & np.uint8(3)).astype(np.int64)
+    return _canon_from_codes(c, k)
