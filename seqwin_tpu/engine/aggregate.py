@@ -152,8 +152,13 @@ def aggregate_device(
     oh = jnp.concatenate([c[0] for c in chunks])
     pos = jnp.concatenate([c[1] for c in chunks])
     rec = jnp.concatenate([c[2] for c in chunks])
-    offsets_j = jnp.asarray(np.asarray(record_offsets, dtype=np.int64))
-    asm = (jnp.searchsorted(offsets_j, rec.astype(i64), side='right') - 1).astype(i32)
+    if len(chunks[0]) >= 5 and chunks[0][4] is not None:
+        # assembly indices precomputed per chunk (emit-cap-sized searchsorted
+        # in phase 2 is far cheaper than one over the concatenated stream)
+        asm = jnp.concatenate([c[4] for c in chunks])
+    else:
+        offsets_j = jnp.asarray(np.asarray(record_offsets, dtype=np.int64))
+        asm = (jnp.searchsorted(offsets_j, rec.astype(i64), side='right') - 1).astype(i32)
     tmask = jnp.asarray(np.asarray(is_target, dtype=bool))
 
     n_padded = int(oh.shape[0])

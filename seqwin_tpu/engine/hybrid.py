@@ -141,7 +141,8 @@ def scan_phase1(codes_aug, k: int, w: int):
 
 
 @functools.partial(jax.jit, static_argnames=('emit_cap',))
-def scan_phase2(z_clean, canon, patch_pos, patch_z, starts, mult, rec_base, emit_cap: int):
+def scan_phase2(z_clean, canon, patch_pos, patch_z, starts, mult, rec_base,
+                asm_offsets, emit_cap: int):
     """Device call 2: z-patch, emission prefix-max, top_k extraction, and the
     final (record, position, out-hash) mapping -- all device-resident so no
     per-chunk host round-trip is needed.
@@ -175,7 +176,11 @@ def scan_phase2(z_clean, canon, patch_pos, patch_z, starts, mult, rec_base, emit
     rec_local = jnp.clip(rec_local, 0, starts.shape[0] - 1)
     e_pos = jnp.where(live, eidx - starts[rec_local], i32(0)).astype(jnp.uint32)
     e_rec = jnp.where(live, rec_local + rec_base, i32(-1))
-    return e_oh, e_pos, e_rec, count
+    # assembly index for the aggregation stage (emit-cap-sized lookup here is
+    # far cheaper than a stream-wide searchsorted later)
+    e_asm = (jnp.searchsorted(asm_offsets, e_rec.astype(jnp.int64), side='right') - 1).astype(i32)
+    e_asm = jnp.where(live, e_asm, i32(0))
+    return e_oh, e_pos, e_rec, count, e_asm
 
 
 @functools.partial(jax.jit, static_argnames=('n', 'offset'))
@@ -381,6 +386,7 @@ def scan_chunk_device(
     rec_base: int = 0,
     min_chunk: int = 1 << 16,
     defer_sync: bool = False,
+    record_offsets=None,
 ):
     """Scan one chunk; emitted minimizers stay device-resident.
 
@@ -390,15 +396,17 @@ def scan_chunk_device(
     the next chunk overlap device compute of this one.
 
     Returns:
-        (e_oh, e_pos, e_rec) device arrays padded to the emission capacity
-        (e_rec == -1 on padding; record ids are global via ``rec_base``), and
-        the emitted ``count`` (int, or device scalar when defer_sync).
+        (e_oh, e_pos, e_rec, count, e_asm) device arrays padded to the
+        emission capacity (e_rec == -1 on padding; record ids are global via
+        ``rec_base``); ``count`` is an int, or a device scalar when
+        defer_sync. ``e_asm`` is the per-entry assembly index when
+        ``record_offsets`` is given (else zeros).
     """
     import os
 
     total = int(sum(len(c) for c in record_codes))
     if total == 0 or not record_codes:
-        return None, None, None, 0
+        return None, None, None, 0, None
 
     mode = os.environ.get('SEQWIN_TPU_PHASE1', 'auto')
     if mode == 'auto':
@@ -480,23 +488,34 @@ def scan_chunk_device(
     patch_z_a[:len(irr_pos)] = patch_z
 
     mult = jnp.uint64(out_hash_mult(k))
+    # global-record -> assembly offsets, bucketed (shared shape across chunks)
+    if record_offsets is not None:
+        off_h = np.asarray(record_offsets, dtype=np.int64)
+    else:
+        off_h = np.array([0, 1 << 30], dtype=np.int64)  # single pseudo-assembly
+    ocap = max(64, next_pow2(len(off_h)))
+    off_a = np.full(ocap, np.int64(1) << 40, dtype=np.int64)
+    off_a[:len(off_h)] = off_h
+    off_a[0] = np.iinfo(np.int64).min  # 'right' search counts offsets <= rec
+    off_j = jnp.asarray(off_a)
+
     # size the emission capacity from the padded buffer so all chunks of a
     # run share one phase-2 shape
     emit_cap = min(max(1 << 12, next_pow2(int(2.5 * n / (w + 1)) + 64)), n)
     if defer_sync:
-        e_oh, e_pos, e_rec, count = scan_phase2(
+        e_oh, e_pos, e_rec, count, e_asm = scan_phase2(
             z_clean, canon, jnp.asarray(patch_pos_a), jnp.asarray(patch_z_a),
-            starts_j, mult, jnp.int32(rec_base), emit_cap,
+            starts_j, mult, jnp.int32(rec_base), off_j, emit_cap,
         )
-        return e_oh, e_pos, e_rec, count  # count is a device scalar
+        return e_oh, e_pos, e_rec, count, e_asm  # count is a device scalar
     while True:
-        e_oh, e_pos, e_rec, count = scan_phase2(
+        e_oh, e_pos, e_rec, count, e_asm = scan_phase2(
             z_clean, canon, jnp.asarray(patch_pos_a), jnp.asarray(patch_z_a),
-            starts_j, mult, jnp.int32(rec_base), emit_cap,
+            starts_j, mult, jnp.int32(rec_base), off_j, emit_cap,
         )
         count = int(count)
         if count <= emit_cap:
-            return e_oh, e_pos, e_rec, count
+            return e_oh, e_pos, e_rec, count, e_asm
         emit_cap = next_pow2(count)
 
 
@@ -508,7 +527,7 @@ def scan_records_hybrid(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Host driver for the hybrid scan. Same contract as
     `minimizer.scan_records_host` (exact, scan-ordered emissions)."""
-    e_oh, e_pos, e_rec, count = scan_chunk_device(record_codes, k, w, 0, min_chunk)
+    e_oh, e_pos, e_rec, count, _ = scan_chunk_device(record_codes, k, w, 0, min_chunk)
     if e_oh is None:
         return (np.zeros(0, np.uint64), np.zeros(0, np.uint32), np.zeros(0, np.int32))
     return (

@@ -137,6 +137,7 @@ def build(
                 scan_chunk_device(
                     chunk_codes, kmerlen, windowsize, chunk_rec_base,
                     min_chunk=shape_bucket, defer_sync=True,
+                    record_offsets=offsets,
                 )
             )
         chunk_inputs.append((chunk_codes, chunk_rec_base))
@@ -165,10 +166,11 @@ def build(
                 continue
             count = int(res[3])
             if count <= res[0].shape[0]:
-                resolved.append((res[0], res[1], res[2], count))
+                resolved.append((res[0], res[1], res[2], count, res[4]))
             else:  # capacity overflow: re-run this chunk with exact sizing
                 resolved.append(scan_chunk_device(
                     recs, kmerlen, windowsize, base, min_chunk=shape_bucket,
+                    record_offsets=offsets,
                 ))
         chunk_results = resolved
     logger.debug(f'build: scan resolve {_now() - _t0:.2f}s')
