@@ -106,3 +106,19 @@ def test_gzip_and_plain_equal(tmp_path, fixture_paths):
     b = build(gz_paths, 7, 10, [True, True, False, False])
     for x, y in zip(a[:4], b[:4]):
         np.testing.assert_array_equal(x, y)
+
+
+def test_multi_chunk_matches_golden(ref_fixtures, fixture_paths, monkeypatch):
+    """Force many tiny chunks: chunk boundaries and cross-chunk aggregation
+    must not change any output byte."""
+    import seqwin_tpu.graph.build as build_mod
+
+    monkeypatch.setattr(build_mod, 'DEFAULT_CHUNK_BASES', 1 << 12)
+    golden = np.load(ref_fixtures / 'expected' / 'graph.npz')
+    kmers, nodes, edges, offsets, _ = build(
+        fixture_paths, 17, 10, [True, True, False, False],
+    )
+    np.testing.assert_array_equal(kmers, golden['kmers'])
+    np.testing.assert_array_equal(edges, golden['edges'])
+    for f in ('hash', 'start', 'stop', 'n_tar', 'n_neg'):
+        np.testing.assert_array_equal(nodes[f], golden['nodes'][f])
