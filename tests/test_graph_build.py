@@ -111,8 +111,9 @@ def test_gzip_and_plain_equal(tmp_path, fixture_paths):
 def test_multi_chunk_matches_golden(ref_fixtures, fixture_paths, monkeypatch):
     """Force many tiny chunks: chunk boundaries and cross-chunk aggregation
     must not change any output byte."""
-    import seqwin_tpu.graph.build as build_mod
+    import importlib
 
+    build_mod = importlib.import_module('seqwin_tpu.graph.build')
     monkeypatch.setattr(build_mod, 'DEFAULT_CHUNK_BASES', 1 << 12)
     golden = np.load(ref_fixtures / 'expected' / 'graph.npz')
     kmers, nodes, edges, offsets, _ = build(
