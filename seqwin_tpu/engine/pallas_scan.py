@@ -287,7 +287,7 @@ def _halos(k: int, w: int) -> tuple[int, int]:
 
 
 @functools.partial(jax.jit, static_argnames=('k', 'w', 'tb', 'interpret'))
-def pallas_phase1(codes_aug_2d, k: int, w: int, tb: int = 128, interpret: bool = False):
+def pallas_phase1(codes_aug_2d, k: int, w: int, tb: int = 512, interpret: bool = False):
     """Run the fused scan kernel over an (R, 128) uint8 stream.
 
     Args:
@@ -355,7 +355,7 @@ def pallas_phase1(codes_aug_2d, k: int, w: int, tb: int = 128, interpret: bool =
     return z, lo, hi
 
 
-def phase1_shapes(total_bases: int, k: int, w: int, tb: int = 128):
+def phase1_shapes(total_bases: int, k: int, w: int, tb: int = 512):
     """(rows_total, n_flat, offset) for a stream of ``total_bases`` real bases.
 
     The stream starts at ``offset`` (= hb rows of padding); output rows are
