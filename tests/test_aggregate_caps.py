@@ -52,3 +52,40 @@ def test_build_fuzz_vs_oracle(tmp_path, seed):
         np.testing.assert_array_equal(got[1][f], ref[1][f])
     np.testing.assert_array_equal(got[2], ref[2])
     np.testing.assert_array_equal(got[3], ref[3])
+
+
+@pytest.mark.parametrize('seed', range(3))
+def test_build_fuzz_stress_irregular(tmp_path, seed):
+    """Adversarial irregular-window stress: long N runs, IUPAC ambiguity
+    letters, records shorter than k, and windows wider than records — every
+    case must be host-patched bit-exactly in the hybrid engine."""
+    rng = np.random.default_rng(900 + seed)
+    k = int(rng.integers(2, 32))
+    w = int(rng.integers(1, 65))
+    paths, targets = [], []
+    for i in range(int(rng.integers(2, 4))):
+        recs = []
+        for r in range(int(rng.integers(1, 5))):
+            parts = []
+            for _ in range(int(rng.integers(1, 6))):
+                kind = rng.integers(0, 4)
+                if kind == 0:  # long N run
+                    parts.append('N' * int(rng.integers(1, 300)))
+                elif kind == 1:  # IUPAC ambiguity soup (all invalid codes)
+                    amb = np.array(list('RYSWKMBDHVN'))
+                    parts.append(''.join(rng.choice(amb, int(rng.integers(1, 40)))))
+                else:  # clean stretch (possibly shorter than k)
+                    acgt = np.array(list('ACGT'))
+                    parts.append(''.join(rng.choice(acgt, int(rng.integers(1, 800)))))
+            recs.append(''.join(parts))
+        p = tmp_path / f'x{seed}_g{i}.fasta'
+        p.write_text(''.join(f'>r{r}\n{s}\n' for r, s in enumerate(recs)))
+        paths.append(p)
+        targets.append(i % 2 == 0)
+    got = build(paths, k, w, targets)
+    ref = build(paths, k, w, targets, backend='numpy')
+    np.testing.assert_array_equal(got[0], ref[0])
+    for f in ('hash', 'start', 'stop', 'n_tar', 'n_neg'):
+        np.testing.assert_array_equal(got[1][f], ref[1][f])
+    np.testing.assert_array_equal(got[2], ref[2])
+    np.testing.assert_array_equal(got[3], ref[3])
