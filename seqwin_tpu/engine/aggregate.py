@@ -94,17 +94,30 @@ def _merge_nodes(oh, pos, rec, asm, is_target, m, node_cap: int):
 
 
 @functools.partial(jax.jit, static_argnames=('edge_cap',))
-def _merge_edges(oh, rec, asm, edge_cap: int):
-    """Canonicalized adjacent-pair edges with per-assembly dedup, on device."""
+def _merge_edges(oh, rec, asm, edge_cap: int, xu, xv, xa, xn):
+    """Canonicalized adjacent-pair edges with per-assembly dedup, on device.
+
+    (xu, xv, xa, xn) are extra out-of-stream pairs -- block-junction edges of
+    records split over multiple chunks (`hybrid.scan_record_blocks`); they go
+    through the same per-(u, v, assembly) dedup as stream pairs.
+    """
     adj = (rec[:-1] == rec[1:]) & (rec[:-1] >= 0)
     u = jnp.minimum(oh[:-1], oh[1:])
     v = jnp.maximum(oh[:-1], oh[1:])
     pad = (~adj).astype(jnp.uint8)
+    if xu.shape[0]:
+        xvalid = jnp.arange(xu.shape[0], dtype=i32) < xn
+        pad = jnp.concatenate([pad, (~xvalid).astype(jnp.uint8)])
+        u = jnp.concatenate([u, jnp.minimum(xu, xv)])
+        v = jnp.concatenate([v, jnp.maximum(xu, xv)])
+        asm_l = jnp.concatenate([asm[:-1], xa])
+    else:
+        asm_l = asm[:-1]
     _, t_u, t_v, t_a = jax.lax.sort(
-        (pad, u, v, asm[:-1]), num_keys=4, is_stable=False
+        (pad, u, v, asm_l), num_keys=4, is_stable=False
     )
     n = t_u.shape[0]
-    n_adj = jnp.sum(adj.astype(i32))
+    n_adj = jnp.sum(adj.astype(i32)) + xn
     idx = jnp.arange(n, dtype=i32)
     real = idx < n_adj
 
@@ -134,15 +147,20 @@ def aggregate_device(
     chunks,
     record_offsets: np.ndarray,
     is_target: np.ndarray,
+    extra_pairs=None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Aggregate device-resident chunk results into (kmers, nodes, edges).
 
     Args:
         chunks: list of (e_oh u64, e_pos u32, e_rec i32, count) where arrays
             are device-resident and padded (rec == -1); chunks are in global
-            scan order and records never span chunks.
+            scan order. A record may span chunks only as halo'd blocks
+            (`hybrid.scan_record_blocks`), whose junction adjacencies arrive
+            via ``extra_pairs``.
         record_offsets: uintp[A+1] cumulative record counts per assembly.
         is_target: bool[A].
+        extra_pairs: optional [(u, v, assembly_idx), ...] out-of-stream edge
+            pairs (block junctions).
     """
     chunks = [c for c in chunks if c[0] is not None]
     m = int(sum(int(c[3]) for c in chunks))
@@ -172,13 +190,31 @@ def aggregate_device(
             break
         node_cap = min(1 << (n_nodes - 1).bit_length(), n_padded)
 
-    edge_cap = min(node_cap * 4, n_padded - 1) if n_padded > 1 else 1
+    if extra_pairs:
+        xcap = 1 << max(4, (len(extra_pairs) - 1).bit_length())
+        xu_h = np.zeros(xcap, np.uint64)
+        xv_h = np.zeros(xcap, np.uint64)
+        xa_h = np.full(xcap, -1, np.int32)
+        for i, (pu, pv, pa) in enumerate(extra_pairs):
+            xu_h[i], xv_h[i], xa_h[i] = pu, pv, pa
+        xn = len(extra_pairs)
+    else:
+        xcap, xn = 0, 0
+        xu_h = np.zeros(0, np.uint64)
+        xv_h = np.zeros(0, np.uint64)
+        xa_h = np.zeros(0, np.int32)
+    xu, xv, xa = jnp.asarray(xu_h), jnp.asarray(xv_h), jnp.asarray(xa_h)
+
+    pair_max = (n_padded - 1 if n_padded > 1 else 1) + xcap
+    edge_cap = min(node_cap * 4, pair_max)
     while True:
-        e_first, e_second, e_weight, n_edges = _merge_edges(oh, rec, asm, edge_cap)
+        e_first, e_second, e_weight, n_edges = _merge_edges(
+            oh, rec, asm, edge_cap, xu, xv, xa, i32(xn)
+        )
         n_edges = int(n_edges)
         if n_edges <= edge_cap:
             break
-        edge_cap = min(1 << (n_edges - 1).bit_length(), n_padded - 1)
+        edge_cap = min(1 << (n_edges - 1).bit_length(), pair_max)
 
     kmers = np.zeros(m, dtype=KMER_DTYPE)
     kmers['pos'] = np.asarray(s_pos[:m])

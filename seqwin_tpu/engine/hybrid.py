@@ -519,6 +519,127 @@ def scan_chunk_device(
         emit_cap = next_pow2(count)
 
 
+def _record_block_plan(codes: np.ndarray, k: int, w: int, budget: int):
+    """Host: split one oversized record into exact scan blocks with halos.
+
+    Each block re-scans a halo of exactly w-1 valid k-mers preceding its
+    first new window, so every window the block emits for is fully visible.
+    Returns [(slice_start, slice_stop), ...] in record coordinates, or None
+    when splitting is degenerate (few valid k-mers).
+    """
+    L = len(codes)
+    nk = L - k + 1
+    if nk <= 0:
+        return None
+    bad = codes > 3
+    cb = np.cumsum(bad, dtype=np.int64)
+    badin = cb[k - 1:].copy()
+    badin[1:] -= cb[:nk - 1]
+    vpos = np.flatnonzero(badin == 0)
+    m = len(vpos)
+    if m < w + 1:
+        return None
+    blocks = []
+    e_prev = w - 2  # last window-ending rank already handled
+    start = 0
+    while e_prev < m - 1:
+        target = start + budget
+        e = int(np.searchsorted(vpos, target - k, side='right')) - 1
+        e = min(max(e, e_prev + 1), m - 1)
+        blocks.append((start, min(L, int(vpos[e]) + k)))
+        start = int(vpos[min(max(0, e - w + 2), m - 1)])  # w-1 valid-kmer halo
+        e_prev = e
+    return blocks
+
+
+@jax.jit
+def _block_adjust(oh, pos, rec, asm, count, off, carry):
+    """Rebase a block's emissions to record coordinates and drop the halo's
+    re-emissions (positions <= carry, always a prefix: emissions ascend)."""
+    idx = jnp.arange(pos.shape[0], dtype=i32)
+    valid = idx < count
+    gpos = pos.astype(jnp.int64) + off
+    keep = valid & (gpos > carry)
+    n_keep = jnp.sum(keep.astype(i32))
+    n_drop = count - n_keep
+    oh2 = jnp.roll(oh, -n_drop)
+    pos2 = jnp.roll(gpos.astype(jnp.uint32), -n_drop)
+    rec2 = jnp.where(idx < n_keep, jnp.roll(rec, -n_drop), i32(-1))
+    asm2 = jnp.roll(asm, -n_drop)
+    has = n_keep > 0
+    new_carry = jnp.where(has, gpos[jnp.maximum(count - 1, 0)], carry)
+    last_oh = oh2[jnp.maximum(n_keep - 1, 0)]
+    return oh2, pos2, rec2, asm2, n_keep, new_carry, oh2[0], last_oh
+
+
+def scan_record_blocks(
+    codes: np.ndarray,
+    k: int,
+    w: int,
+    rec_idx: int,
+    budget: int,
+    min_chunk: int = 1 << 16,
+    record_offsets=None,
+):
+    """Exact chunked scan of ONE record larger than the chunk budget.
+
+    Sequence-length scaling (SURVEY.md §2.3): the reference streams a whole
+    record through one thread's ring buffer (`cpp/src/seqwin/graph.cpp:106-110`),
+    so record length is bounded only by host RAM. Here a long record is cut
+    into blocks that each fit the device chunk budget. Exactness argument:
+    the rightmost-min window argmin position is monotone non-decreasing as
+    the window slides, so the global emission state at any cut is fully
+    captured by one scalar -- the last emitted position (carry). Each block
+    is scanned with a halo of w-1 preceding valid k-mers; candidates at
+    positions <= carry are exactly the halo's re-emissions and are dropped.
+
+    Returns (chunk_tuples, bridge_pairs): finalized (oh, pos, rec, count,
+    asm) 5-tuples for `aggregate_device`, plus (u, v, assembly) adjacency
+    pairs for edges spanning block junctions (lost to chunk padding in the
+    concatenated stream).
+    """
+    codes = np.asarray(codes)
+    plan = _record_block_plan(codes, k, w, budget)
+    if plan is None or len(plan) <= 1:
+        res = scan_chunk_device(
+            [codes], k, w, rec_idx, min_chunk, record_offsets=record_offsets
+        )
+        return [res], []
+    if record_offsets is not None:
+        off_h = np.asarray(record_offsets, dtype=np.int64)
+        asm_idx = int(np.searchsorted(off_h, rec_idx, side='right') - 1)
+    else:
+        asm_idx = 0
+
+    results, pairs = [], []
+    carry = -1
+    carry_oh = None
+    for b0, b1 in plan:
+        r = scan_chunk_device(
+            [codes[b0:b1]], k, w, rec_idx, min_chunk, defer_sync=True,
+            record_offsets=record_offsets,
+        )
+        count = int(np.asarray(r[3]))
+        if count > r[0].shape[0]:  # emission-capacity overflow: exact re-run
+            r = scan_chunk_device(
+                [codes[b0:b1]], k, w, rec_idx, min_chunk,
+                record_offsets=record_offsets,
+            )
+            count = int(r[3])
+        oh2, pos2, rec2, asm2, n_keep, new_carry, first_oh, last_oh = _block_adjust(
+            r[0], r[1], r[2], r[4], jnp.int32(count), jnp.int64(b0), jnp.int64(carry)
+        )
+        n_keep = int(np.asarray(n_keep))
+        if n_keep > 0:
+            f_oh = int(np.asarray(first_oh))
+            if carry_oh is not None:
+                pairs.append((min(carry_oh, f_oh), max(carry_oh, f_oh), asm_idx))
+            carry_oh = int(np.asarray(last_oh))
+            carry = int(np.asarray(new_carry))
+            results.append((oh2, pos2, rec2, n_keep, asm2))
+    return results, pairs
+
+
 def scan_records_hybrid(
     record_codes: list[np.ndarray],
     k: int,

@@ -145,8 +145,25 @@ def build(
         chunk_codes, chunk_bases = [], 0
 
     _t0 = _now()
+    bridge_pairs = []  # block-junction edges of records split over chunks
     for ids, codes_list in parsed:
         for codes in codes_list:
+            if not use_sort_engine and len(codes) > chunk_budget:
+                # a record larger than the chunk budget: exact halo'd block
+                # scan (sequence-length scaling, SURVEY.md §2.3)
+                from ..engine.hybrid import scan_record_blocks
+
+                flush()
+                res, pairs = scan_record_blocks(
+                    codes, kmerlen, windowsize, rec_global, chunk_budget,
+                    min_chunk=shape_bucket, record_offsets=offsets,
+                )
+                chunk_results.extend(res)
+                chunk_inputs.extend([None] * len(res))
+                bridge_pairs.extend(pairs)
+                chunk_rec_base = rec_global + 1
+                rec_global += 1
+                continue
             if chunk_bases + len(codes) > chunk_budget and chunk_codes:
                 flush()
             chunk_codes.append(codes)
@@ -160,10 +177,11 @@ def build(
         from ..engine.hybrid import scan_chunk_device
 
         resolved = []
-        for (recs, base), res in zip(chunk_inputs, chunk_results):
-            if res[0] is None:
+        for inp, res in zip(chunk_inputs, chunk_results):
+            if inp is None or res[0] is None:  # block chunks arrive finalized
                 resolved.append(res)
                 continue
+            recs, base = inp
             count = int(res[3])
             if count <= res[0].shape[0]:
                 resolved.append((res[0], res[1], res[2], count, res[4]))
@@ -180,7 +198,8 @@ def build(
 
     _t0 = _now()
     kmers, nodes, edges = aggregate_device(
-        chunk_results, offsets, np.asarray(targets, dtype=bool)
+        chunk_results, offsets, np.asarray(targets, dtype=bool),
+        extra_pairs=bridge_pairs or None,
     )
     logger.debug(f'build: aggregate {_now() - _t0:.2f}s')
     return kmers, nodes, edges, offsets, record_ids
