@@ -1,17 +1,26 @@
 """Input assembly registry + sequence fetch + BLAST database streaming.
 
-Behavioral contract follows `/root/reference/src/seqwin/assemblies.py:54-476`.
+Covers the reference's assembly layer
+(`/root/reference/src/seqwin/assemblies.py:54-476`): resolving inputs from
+taxa downloads / path lists / directories, pairwise Mash distances, fetching
+marker sequences, and feeding header-rewritten FASTAs to `makeblastdb`.
+
+The streaming design differs from the reference (which reorders an unordered
+multiprocessing queue on the consumer side): here a sliding window of
+process-pool futures is drained strictly in submission order, which gives the
+same deterministic stdin byte stream with bounded memory and no reorder
+buffer.
 """
 from __future__ import annotations
 
 import gzip
 import logging
-import multiprocessing as mp
 import re
 import subprocess
-from io import BufferedWriter
+from collections import deque
+from collections.abc import Iterable, Iterator, Sequence
+from concurrent.futures import Executor, Future, ProcessPoolExecutor
 from pathlib import Path
-from queue import Empty
 from time import time
 
 logger = logging.getLogger(__name__)
@@ -20,20 +29,20 @@ import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402
 from numpy.typing import NDArray  # noqa: E402
 
-from .ncbi import download_taxon  # noqa: E402
-from .mash import get_jaccard, sketch  # noqa: E402
+from .config import BLASTCONFIG, WORKINGDIR, Config, RunState  # noqa: E402
 from .io.fasta import load_fasta  # noqa: E402
+from .mash import get_jaccard, sketch  # noqa: E402
+from .ncbi import download_taxon  # noqa: E402
 from .utils import (  # noqa: E402
     GZIP_EXT,
-    file_to_write,
-    get_dups,
+    claim_dir,
+    claim_file,
+    duplicates,
+    fail,
     load_paths_txt,
-    log_and_raise,
-    mkdir,
-    mp_wrapper,
-    print_time_delta,
+    log_elapsed,
+    pool_map,
 )
-from .config import BLASTCONFIG, WORKINGDIR, Config, RunState  # noqa: E402
 
 _FASTA_EXT = (
     '.fna', '.fasta', '.fna.gz', '.fasta.gz',
@@ -41,175 +50,176 @@ _FASTA_EXT = (
 )
 
 
+def _windowed_ordered(
+    executor: Executor, fn, jobs: Iterable[tuple], window: int
+) -> Iterator:
+    """Run ``fn(*job)`` on an executor, yielding results in job order while
+    keeping at most ``window`` jobs in flight (bounded-memory pipeline)."""
+    inflight: deque[Future] = deque()
+    for job in jobs:
+        inflight.append(executor.submit(fn, *job))
+        if len(inflight) >= window:
+            yield inflight.popleft().result()
+    while inflight:
+        yield inflight.popleft().result()
+
+
+def _load_marker_seqs(path: Path, spans: list[tuple[int, int, int]]) -> list[str]:
+    """Worker: slice (record_idx, start, stop) spans out of one assembly."""
+    records = load_fasta(path)
+    return [records[rec][start:stop] for rec, start, stop in spans]
+
+
+def _rewrite_fasta_headers(path: Path, assembly_idx: int, is_target: bool) -> bytes:
+    """Worker: load one (possibly gzipped) FASTA and tag every header with
+    `{assembly_idx}|{t/f}|` so BLAST hits map back to assemblies."""
+    raw = path.read_bytes()
+    if path.suffix == GZIP_EXT:
+        raw = gzip.decompress(raw)
+    tag = (
+        f'>{assembly_idx}{BLASTCONFIG.header_sep}'
+        f'{BLASTCONFIG.bool2str[is_target]}{BLASTCONFIG.header_sep}'
+    ).encode()
+    return re.sub(rb'^>', tag, raw, flags=re.MULTILINE)
+
+
 class Assemblies(pd.DataFrame):
     """All input assemblies as a DataFrame: path, is_target, record_ids."""
 
     def __init__(self, tar_paths: list[Path], neg_paths: list[Path]) -> None:
-        data = dict(
-            path=tar_paths + neg_paths,
-            is_target=[True] * len(tar_paths) + [False] * len(neg_paths),
-            record_ids=None,
+        super().__init__(
+            dict(
+                path=tar_paths + neg_paths,
+                is_target=[True] * len(tar_paths) + [False] * len(neg_paths),
+                record_ids=None,
+            )
         )
-        super().__init__(data)
 
-    def mash(self, kmerlen: int, sketchsize: int, out_path: Path, overwrite: bool, n_cpu: int) -> NDArray:
+    def mash(
+        self, kmerlen: int, sketchsize: int, out_path: Path, overwrite: bool, n_cpu: int
+    ) -> NDArray:
         """Pairwise Jaccard matrix via external mash."""
-        mash_sketch = sketch(
+        msh = sketch(
             self.path.tolist(), kmerlen=kmerlen, sketchsize=sketchsize,
             out_path=out_path, overwrite=overwrite, n_cpu=n_cpu,
         )
-        return np.array(list(get_jaccard(mash_sketch, n_cpu=n_cpu))).reshape(len(self), len(self))
+        n = len(self)
+        return np.fromiter(get_jaccard(msh, n_cpu=n_cpu), dtype=np.float64).reshape(n, n)
 
-    def fetch_seq(self, loc: pd.DataFrame, n_cpu: int) -> pd.Series:
-        """Fetch sequences for rows of (assembly_idx, record_idx, start, stop),
-        grouped per assembly and loaded in parallel."""
-        loc_groups: dict[int, pd.DataFrame] = dict(tuple(
-            loc.groupby(by='assembly_idx', sort=False)[['record_idx', 'start', 'stop']]
-        ))
-        logger.info(f' - {len(loc_groups)} assemblies to be loaded')
-        paths = self.path
-        fetch_args = zip(
-            loc_groups.values(),
-            (paths.loc[assembly_idx] for assembly_idx in loc_groups),
-        )
-        all_seq: pd.Series = pd.concat(
-            mp_wrapper(_fetch_seq, fetch_args, n_cpu, n_jobs=len(loc_groups)),
-            axis=0,
-        )
-        all_seq.sort_index(ascending=True, inplace=True)
-        return all_seq
+    def fetch_seq(
+        self, spans: Sequence[tuple[int, int, int, int]], n_cpu: int
+    ) -> list[str]:
+        """Sequences for (assembly_idx, record_idx, start, stop) spans,
+        returned in span order; each assembly's FASTA is loaded once."""
+        by_assembly: dict[int, list[tuple[int, int, int]]] = {}
+        origin: dict[int, list[int]] = {}
+        for row, (asm, rec, start, stop) in enumerate(spans):
+            by_assembly.setdefault(asm, []).append((rec, start, stop))
+            origin.setdefault(asm, []).append(row)
+        logger.info(f' - {len(by_assembly)} assemblies to be loaded')
+
+        jobs = [(self.path.loc[asm], rows) for asm, rows in by_assembly.items()]
+        per_assembly = pool_map(_load_marker_seqs, jobs, n_cpu, total=len(jobs))
+
+        out: list[str] = [''] * len(spans)
+        for asm, seqs in zip(by_assembly, per_assembly):
+            for row, seq in zip(origin[asm], seqs):
+                out[row] = seq
+        return out
 
     def makeblastdb(self, prefix: Path, neg_only: bool, overwrite: bool, n_cpu: int) -> Path:
-        """Stream header-rewritten FASTAs into `makeblastdb` via an ordered queue."""
+        """Build a BLAST database by streaming header-tagged FASTAs to stdin."""
         if neg_only:
             logger.info('Creating a BLAST database of non-target assemblies (less sensitive but faster)...')
-            df = self[self.is_target == False]  # noqa: E712
+            rows = self[self.is_target == False]  # noqa: E712
             title = BLASTCONFIG.title_neg_only
         else:
             logger.info('Creating a BLAST database of all assemblies...')
-            df = self
+            rows = self
             title = BLASTCONFIG.title_all
         tik = time()
 
-        mkdir(prefix, overwrite)
+        claim_dir(prefix, overwrite)
         blastdb = prefix / title
-
-        with mp.Manager() as manager:
-            queue = manager.Queue(maxsize=BLASTCONFIG.queue_size + n_cpu)
-            queue_idx = range(len(df))
-            makeblastdb_args = ['makeblastdb', '-title', title, '-dbtype', 'nucl', '-out', blastdb]
-            proc = subprocess.Popen(
-                makeblastdb_args, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-                stderr=subprocess.PIPE, text=False,
-            )
-            pool = mp.Pool(processes=n_cpu)
-            for args in zip(df.path, df.index, df.is_target, queue_idx):
-                pool.apply_async(_add_fasta_to_queue, args=(*args, queue))
-            pool.close()
-            _stream_to_stdin(queue, len(df), proc.stdin)
-            pool.join()
-            stdout, stderr = proc.communicate()
-            stdout, stderr = stdout.decode(), stderr.decode()
+        argv = ['makeblastdb', '-title', title, '-dbtype', 'nucl', '-out', str(blastdb)]
+        proc = subprocess.Popen(
+            argv, stdin=subprocess.PIPE, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        jobs = zip(rows.path, rows.index, rows.is_target)
+        with ProcessPoolExecutor(max_workers=n_cpu) as pool:
+            for chunk in _windowed_ordered(
+                pool, _rewrite_fasta_headers, jobs,
+                window=BLASTCONFIG.queue_size + n_cpu,
+            ):
+                proc.stdin.write(chunk)
+        stdout, stderr = proc.communicate()
 
         blast_log = prefix / WORKINGDIR.blast_log
-        blast_log.write_text('\n'.join((str(makeblastdb_args), stdout, stderr)))
+        blast_log.write_text('\n'.join((str(argv), stdout.decode(), stderr.decode())))
         if proc.returncode != 0:
-            log_and_raise(RuntimeError, msg=f'Failed to create the BLAST database. For details, please check {blast_log}')
+            fail(RuntimeError, f'Failed to create the BLAST database. For details, please check {blast_log}')
         logger.info(f' - BLAST database created: {blastdb}')
-        print_time_delta(time() - tik)
+        log_elapsed(time() - tik)
         return blastdb
 
 
-def _add_fasta_to_queue(path: Path, assembly_idx: int, is_target: bool, queue_idx: int, queue) -> None:
-    """Rewrite headers with assembly index + target flag, enqueue in order."""
-    if path.suffix == GZIP_EXT:
-        content = gzip.decompress(path.read_bytes())
-    else:
-        content = path.read_bytes()
-    mod_str = f'>{assembly_idx}{BLASTCONFIG.header_sep}{BLASTCONFIG.bool2str[is_target]}{BLASTCONFIG.header_sep}'.encode()
-    content = re.sub(pattern=rb'^>', repl=mod_str, string=content, flags=re.MULTILINE)
-    queue.put((queue_idx, content))
-
-
-def _stream_to_stdin(queue, n_items: int, proc_stdin: BufferedWriter) -> None:
-    """Drain an indexed queue into stdin in index order."""
-    next_idx = 0
-    buffer: dict[int, bytes] = {}
-    while next_idx < n_items:
-        try:
-            idx, data = queue.get()
-            buffer[idx] = data
-            while next_idx in buffer:
-                proc_stdin.write(buffer.pop(next_idx))
-                next_idx += 1
-        except Empty:
-            continue
-    proc_stdin.flush()
-
-
-def _fetch_seq(loc: pd.DataFrame, src_fasta: Path) -> pd.Series:
-    src_seq = load_fasta(src_fasta)
-    return loc.apply(
-        lambda row: src_seq[row['record_idx']][row['start']:row['stop']],
-        axis=1,
-    )
-
-
-def _get_paths_dl(taxa_list: list[str], prefix: Path, config: Config) -> list[Path]:
-    paths = []
-    for taxon in taxa_list:
-        download_paths = download_taxon(
+def _resolve_taxa(taxa: list[str], prefix: Path, config: Config) -> list[Path]:
+    """Download every taxon's genome package; collect assembly paths."""
+    found: list[Path] = []
+    for taxon in taxa:
+        paths = download_taxon(
             taxon=taxon, prefix=prefix, level=config.level, source=config.source,
             annotated=config.annotated, exclude_mag=config.exclude_mag, gzip=config.gzip,
             api_key=config.api_key.get_secret_value() if config.api_key is not None else None,
             overwrite=config.overwrite, n_cpu=config.n_cpu,
         )
-        if download_paths is not None:
-            paths.extend(download_paths)
-    return paths
+        found.extend(paths or ())
+    return found
 
 
-def _get_paths_txt(paths_txt: Path) -> list[Path]:
-    paths = load_paths_txt(paths_txt)
-    logger.info(f'Found {len(paths)} assemblies from {paths_txt}')
-    return paths
+def _resolve_txt(paths_txt: Path) -> list[Path]:
+    found = load_paths_txt(paths_txt)
+    logger.info(f'Found {len(found)} assemblies from {paths_txt}')
+    return found
 
 
-def _get_paths_dir(input_dir: Path) -> list[Path]:
-    paths = []
-    for p in sorted(input_dir.iterdir(), key=lambda x: x.name):
-        if p.is_dir():
-            logger.warning(f'- Skipped subdirectory {p}')
-            continue
-        if p.is_file():
-            if p.name.lower().endswith(_FASTA_EXT):
-                paths.append(p.resolve(strict=True))
-            else:
-                logger.warning(f'- Skipped unsupported file {p}')
-    logger.info(f'Found {len(paths)} assemblies from {input_dir}')
-    return paths
+def _resolve_dir(input_dir: Path) -> list[Path]:
+    found: list[Path] = []
+    for entry in sorted(input_dir.iterdir(), key=lambda p: p.name):
+        if entry.is_file() and entry.name.lower().endswith(_FASTA_EXT):
+            found.append(entry.resolve(strict=True))
+        elif entry.is_dir():
+            logger.warning(f'- Skipped subdirectory {entry}')
+        else:
+            logger.warning(f'- Skipped unsupported file {entry}')
+    logger.info(f'Found {len(found)} assemblies from {input_dir}')
+    return found
+
+
+def _require_unique(items: list, what: str) -> None:
+    dups = duplicates(items)
+    if dups:
+        listing = '\n'.join(map(str, dups))
+        fail(RuntimeError, f'{what}:\n{listing}')
 
 
 def _download(config: Config, working_dir: Path) -> tuple[list[Path], list[Path]]:
     tar_taxa = config.tar_taxa or []
     neg_taxa = config.neg_taxa or []
-    tar_paths: list[Path] = []
-    neg_paths: list[Path] = []
-    if tar_taxa or neg_taxa:
-        all_taxa = tar_taxa + neg_taxa
-        if len(all_taxa) != len(set(all_taxa)):
-            dup_taxa = '\n'.join(map(str, get_dups(all_taxa)))
-            log_and_raise(RuntimeError, f'Duplicated taxa:\n{dup_taxa}')
-        assemblies_prefix = working_dir / WORKINGDIR.assemblies_dir
-        if assemblies_prefix.exists():
-            logger.warning(f'Existing assemblies directory is found, genome packages might be reused: {assemblies_prefix}')
-        else:
-            assemblies_prefix.mkdir()
-        if tar_taxa:
-            tar_paths = _get_paths_dl(tar_taxa, assemblies_prefix, config)
-        if neg_taxa:
-            neg_paths = _get_paths_dl(neg_taxa, assemblies_prefix, config)
-    return tar_paths, neg_paths
+    if not (tar_taxa or neg_taxa):
+        return [], []
+    _require_unique(tar_taxa + neg_taxa, 'Duplicated taxa')
+    dl_prefix = working_dir / WORKINGDIR.assemblies_dir
+    if dl_prefix.exists():
+        logger.warning(
+            f'Existing assemblies directory is found, genome packages might be reused: {dl_prefix}'
+        )
+    else:
+        dl_prefix.mkdir()
+    return (
+        _resolve_taxa(tar_taxa, dl_prefix, config),
+        _resolve_taxa(neg_taxa, dl_prefix, config),
+    )
 
 
 def get_assemblies(config: Config, state: RunState) -> Assemblies:
@@ -218,31 +228,29 @@ def get_assemblies(config: Config, state: RunState) -> Assemblies:
     tar_paths, neg_paths = _download(config, working_dir)
 
     if not config.download_only:
-        if config.tar_paths is not None:
-            tar_paths.extend(_get_paths_txt(config.tar_paths))
-        if config.neg_paths is not None:
-            neg_paths.extend(_get_paths_txt(config.neg_paths))
-        if config.tar_dir is not None:
-            tar_paths.extend(_get_paths_dir(config.tar_dir))
-        if config.neg_dir is not None:
-            neg_paths.extend(_get_paths_dir(config.neg_dir))
+        for paths, txt, directory in (
+            (tar_paths, config.tar_paths, config.tar_dir),
+            (neg_paths, config.neg_paths, config.neg_dir),
+        ):
+            if txt is not None:
+                paths.extend(_resolve_txt(txt))
+            if directory is not None:
+                paths.extend(_resolve_dir(directory))
         if not tar_paths:
-            log_and_raise(RuntimeError, msg='No target assembly found')
+            fail(RuntimeError, 'No target assembly found')
         if not neg_paths:
-            log_and_raise(RuntimeError, msg='No non-target assembly found')
-        all_paths = tar_paths + neg_paths
-        if len(all_paths) != len(set(all_paths)):
-            dup_paths = '\n'.join(map(str, get_dups(all_paths)))
-            log_and_raise(RuntimeError, f'Duplicated assembly file paths:\n{dup_paths}')
+            fail(RuntimeError, 'No non-target assembly found')
+        _require_unique(tar_paths + neg_paths, 'Duplicated assembly file paths')
 
     assemblies = Assemblies(tar_paths, neg_paths)
-    n_tar, n_neg = len(tar_paths), len(neg_paths)
-    logger.info(f'Loaded {n_tar} target assemblies and {n_neg} non-target assemblies, {len(assemblies)} in total.')
+    state.n_tar, state.n_neg = len(tar_paths), len(neg_paths)
+    logger.info(
+        f'Loaded {state.n_tar} target assemblies and {state.n_neg} non-target assemblies, '
+        f'{len(assemblies)} in total.'
+    )
 
-    assemblies_path = working_dir / WORKINGDIR.assemblies_csv
-    file_to_write(assemblies_path, config.overwrite)
-    assemblies.to_csv(assemblies_path, columns=('path', 'is_target'), index=True)
-    logger.info(f'Assembly indices and paths saved as {assemblies_path}')
-
-    state.n_tar, state.n_neg = n_tar, n_neg
+    csv_path = working_dir / WORKINGDIR.assemblies_csv
+    claim_file(csv_path, config.overwrite)
+    assemblies.to_csv(csv_path, columns=('path', 'is_target'), index=True)
+    logger.info(f'Assembly indices and paths saved as {csv_path}')
     return assemblies

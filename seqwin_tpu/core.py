@@ -1,13 +1,17 @@
 """Run orchestration: the `Seqwin` instance, `run()` and `load()` entry points.
 
-Contract of `/root/reference/src/seqwin/core.py:46-188`: working-directory
-creation/overwrite protocol, config.json dump, graph.npz escape hatch with
---no-filter, full-instance pickle to results.seqwin.
+Keeps the reference's on-disk run protocol
+(`/root/reference/src/seqwin/core.py:46-188`): working-directory overwrite
+semantics, `config.json` dump, the `--no-filter` -> `graph.npz` escape hatch,
+and a whole-instance pickle (`results.seqwin`) that `load()` round-trips.
+The orchestration itself is decomposed into small free functions so each
+artifact write is one step.
 """
 from __future__ import annotations
 
 import logging
 import pickle
+from contextlib import contextmanager
 from pathlib import Path
 from random import Random
 
@@ -20,7 +24,59 @@ from .assemblies import Assemblies, get_assemblies  # noqa: E402
 from .config import WORKINGDIR, Config, RunState, config_logger  # noqa: E402
 from .pipeline.kmers import KmerGraph, get_kmers  # noqa: E402
 from .pipeline.markers import ConnectedKmers, get_markers  # noqa: E402
-from .utils import file_to_write, overwrite_error, overwrite_warning  # noqa: E402
+from .utils import claim_dir, claim_file  # noqa: E402
+
+
+def _open_working_dir(config: Config) -> Path:
+    """Create (or, with --overwrite, reuse in place) the run directory and
+    attach the per-run log file."""
+    working_dir = config.prefix / config.title
+    existed = working_dir.is_dir()
+    claim_dir(working_dir, overwrite=config.overwrite, verbose=True, wipe=False)
+    if not existed:
+        logger.info(f'Created output directory {working_dir}')
+
+    config_logger(working_dir / WORKINGDIR.log, logging.INFO)
+    logger.info(f'Running seqwin-tpu v{config.version}')
+    if config.n_cpu == 1:
+        logger.warning('Using only one CPU thread, longer running time is expected')
+    return working_dir
+
+
+def _save_config(config: Config, working_dir: Path) -> None:
+    target = working_dir / WORKINGDIR.config
+    claim_file(target, config.overwrite)
+    target.write_text(config.model_dump_json(indent=4))
+    logger.info(f'Run configurations saved as {target}')
+
+
+def _save_raw_graph(kmers: KmerGraph, config: Config, working_dir: Path) -> None:
+    target = working_dir / WORKINGDIR.graph
+    claim_file(target, config.overwrite)
+    np.savez(
+        target,
+        kmers=kmers.kmers,
+        nodes=kmers.nodes,
+        edges=kmers.edges,
+        record_offsets=kmers.record_offsets,
+    )
+    logger.info(f'Filtering is turned off. Raw minimizer graph is saved as {target}')
+
+
+@contextmanager
+def _maybe_profile(profile_dir):
+    """Wrap a run in a `jax.profiler` trace when `Config.profile_dir` is set."""
+    if profile_dir is None:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(str(profile_dir))
+    logger.info(f'jax.profiler trace -> {profile_dir}')
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
 
 
 class Seqwin:
@@ -36,40 +92,12 @@ class Seqwin:
     markers: list[ConnectedKmers] | None
 
     def __init__(self, config: Config) -> None:
-        prefix = config.prefix
-        title = config.title
-        overwrite = config.overwrite
-
-        working_dir = prefix / title
-        try:
-            working_dir.mkdir(parents=False, exist_ok=False)
-            logger.info(f'Created output directory {working_dir}')
-        except FileExistsError:
-            if working_dir.is_file():
-                raise NotADirectoryError(
-                    f'Cannot create {working_dir}, since it already exists as a file'
-                ) from None
-            elif overwrite:
-                overwrite_warning(working_dir)
-            else:
-                overwrite_error(working_dir)
-
-        config_logger(working_dir / WORKINGDIR.log, logging.INFO)
-        logger.info(f'Running seqwin-tpu v{config.version}')
-        if config.n_cpu == 1:
-            logger.warning('Using only one CPU thread, longer running time is expected')
-
-        config_path = working_dir / WORKINGDIR.config
-        file_to_write(config_path, overwrite)
-        config_path.write_text(config.model_dump_json(indent=4))
-        logger.info(f'Run configurations saved as {config_path}')
-
-        state = RunState(working_dir=working_dir, rng=Random(config.seed))
-        assemblies = get_assemblies(config, state)
+        working_dir = _open_working_dir(config)
+        _save_config(config, working_dir)
 
         self.config = config
-        self.state = state
-        self.assemblies = assemblies
+        self.state = RunState(working_dir=working_dir, rng=Random(config.seed))
+        self.assemblies = get_assemblies(config, self.state)
         self.kmers = None
         self.mash = None
         self.markers = None
@@ -77,46 +105,21 @@ class Seqwin:
     def run(self) -> None:
         """Build the k-mer graph and extract candidate markers."""
         config = self.config
-        state = self.state
-
-        profiling = config.profile_dir is not None
-        if profiling:
-            import jax
-
-            jax.profiler.start_trace(str(config.profile_dir))
-            logger.info(f'jax.profiler trace -> {config.profile_dir}')
-        try:
-            self._run_inner(config, state)
-        finally:
-            if profiling:
-                import jax
-
-                jax.profiler.stop_trace()
-
-    def _run_inner(self, config: Config, state: RunState) -> None:
-        kmers, jaccard = get_kmers(self.assemblies, config, state)
-
-        if config.no_filter:
-            graph_path = state.working_dir / WORKINGDIR.graph
-            file_to_write(graph_path, config.overwrite)
-            np.savez(
-                graph_path,
-                kmers=kmers.kmers,
-                nodes=kmers.nodes,
-                edges=kmers.edges,
-                record_offsets=kmers.record_offsets,
-            )
-            logger.info(f'Filtering is turned off. Raw minimizer graph is saved as {graph_path}')
-        else:
-            markers = get_markers(kmers, self.assemblies, config, state)
+        with _maybe_profile(config.profile_dir):
+            kmers, jaccard = get_kmers(self.assemblies, config, self.state)
+            if config.no_filter:
+                _save_raw_graph(kmers, config, self.state.working_dir)
+                return
             self.kmers = kmers
             self.mash = jaccard
-            self.markers = markers
+            self.markers = get_markers(kmers, self.assemblies, config, self.state)
+            self._save_results()
 
-            results_path = state.working_dir / WORKINGDIR.results
-            file_to_write(results_path, config.overwrite)
-            results_path.write_bytes(pickle.dumps(self))
-            logger.info(f'Run instance (includes all run data) saved as {results_path}')
+    def _save_results(self) -> None:
+        target = self.state.working_dir / WORKINGDIR.results
+        claim_file(target, self.config.overwrite)
+        target.write_bytes(pickle.dumps(self))
+        logger.info(f'Run instance (includes all run data) saved as {target}')
 
 
 def run(config: Config) -> Seqwin:
@@ -129,6 +132,4 @@ def run(config: Config) -> Seqwin:
 
 def load(path: str | Path) -> Seqwin:
     """Load a pickled run instance (results.seqwin)."""
-    if isinstance(path, str):
-        path = Path(path)
-    return pickle.loads(path.read_bytes())
+    return pickle.loads(Path(path).read_bytes())

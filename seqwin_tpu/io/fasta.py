@@ -163,27 +163,3 @@ def load_fasta(path: str | Path) -> tuple[str, ...]:
         else:
             seqs.append(record[header_pos:].replace('\n', '').upper())
     return tuple(seqs)
-
-
-def load_genbank(path: str | Path) -> tuple[dict[str, str], int]:
-    """Parse a (optionally gzipped) GenBank file into {record_id: sequence}
-    plus the total sequence length. Requires biopython."""
-    try:
-        from Bio import SeqIO
-    except ImportError:
-        raise ImportError('Biopython is needed for parsing GenBank files') from None
-    from io import StringIO
-
-    path = Path(path)
-    if path.suffix == GZIP_EXT:
-        with gzip.open(path, 'rb') as f:
-            handle = StringIO(f.read().decode())
-    else:
-        handle = path
-    all_record: dict[str, str] = {}
-    total_len = 0
-    for record in SeqIO.parse(handle, 'genbank'):
-        seq = str(record.seq).upper()
-        all_record[str(record.id)] = seq
-        total_len += len(seq)
-    return all_record, total_len

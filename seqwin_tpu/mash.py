@@ -5,12 +5,13 @@ Two interchangeable estimators of pairwise Jaccard indices:
 1. External `mash` subprocess adapter (behavioral mirror of
    `/root/reference/src/seqwin/mash.py:39-183`), used when `run_mash` is on
    and mash is installed.
-2. A TPU-native bottom-k MinHash sketch (`device_jaccard`) computed from the
-   same ntHash canonical values the minimizer engine already produces -- the
-   default fallback, and available as a first-class estimator.
+2. A TPU-native bottom-k MinHash sketch (`device_sketches` +
+   `sketch_jaccard_matrix`): one compiled shape per run, sketches and the
+   pairwise Jaccard matrix both computed on device.
 """
 from __future__ import annotations
 
+import functools
 import logging
 import subprocess
 from collections.abc import Generator, Iterable
@@ -18,7 +19,7 @@ from pathlib import Path
 
 import numpy as np
 
-from .utils import file_to_write, log_and_raise, run_cmd
+from .utils import claim_file, fail, run_tool
 
 logger = logging.getLogger(__name__)
 
@@ -47,7 +48,7 @@ def sketch(
         log_text = f' - Generating MinHash sketches with Mash for {len(assembly_path)} assemblies...'
         assembly_path = assembly_path[0]
     else:
-        log_and_raise(ValueError, 'Invalid assembly_path for mash sketch')
+        fail(ValueError, 'Invalid assembly_path for mash sketch')
 
     if out_path is None:
         real_out_path = assembly_path.with_name(assembly_path.name + _MASH_SKETCH_EXT)
@@ -57,11 +58,11 @@ def sketch(
         real_out_path = out_path
     else:
         real_out_path = out_path.with_name(out_path.name + _MASH_SKETCH_EXT)
-    file_to_write(real_out_path, overwrite)
+    claim_file(real_out_path, overwrite)
     args += ['-o', out_path]
 
     logger.info(log_text)
-    run_cmd(*args, stdin=stdin, raise_error=True)
+    run_tool(*args, stdin=stdin, check=True)
     logger.info(f' - Mash sketch file saved as {real_out_path}')
     return real_out_path
 
@@ -80,7 +81,7 @@ def dist(
     if query_path is None:
         query_path = ref_path
     logger.info(' - Calculating Mash distances of assembly pairs...')
-    cmd_out = run_cmd('mash', 'dist', '-p', str(n_cpu), ref_path, query_path)
+    cmd_out = run_tool('mash', 'dist', '-p', str(n_cpu), ref_path, query_path)
     df = pd.read_csv(
         StringIO(cmd_out.stdout), sep='\t', header=None,
         names=('ref', 'query', 'dist', 'pval', 'jaccard'), index_col=False,
@@ -114,7 +115,64 @@ def get_jaccard(
         proc.stdout.close()
         _, stderr = proc.communicate()
         if proc.returncode != 0:
-            log_and_raise(RuntimeError, f"'mash dist' exited with code {proc.returncode}:\n{stderr}")
+            fail(RuntimeError, f"'mash dist' exited with code {proc.returncode}:\n{stderr}")
+
+
+# ---------------------------------------------------------------------------
+# TPU-native estimator
+# ---------------------------------------------------------------------------
+
+def _bottom_k_kernel_impl(codes, k: int, sketchsize: int):
+    """Device bottom-k distinct canonical ntHash values of one base stream.
+
+    ``codes`` is the assembly's records joined with single 255 separators
+    (a separator invalidates every k-mer spanning it, so no record-start
+    bookkeeping is needed). Returns (sketch u64[sketchsize] ascending,
+    MAX-padded; n_distinct i32).
+    """
+    import jax.numpy as jnp
+
+    from .engine.minimizer import (
+        _select_seed,
+        _srol_parts,
+        _window_any,
+        _window_xor,
+    )
+    from .ops.hashing import M64, SEEDS, SEEDS_COMP
+
+    u64 = jnp.uint64
+    n = codes.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    im33 = iota % 33
+    im31 = iota % 31
+    neg33 = (33 - im33) % 33
+    neg31 = (31 - im31) % 31
+    a = _srol_parts(_select_seed(codes, SEEDS), neg33, neg31)
+    b = _srol_parts(_select_seed(codes, SEEDS_COMP), im33, im31)
+    fwd = _srol_parts(_window_xor(a, k), (im33 + (k - 1)) % 33, (im31 + (k - 1)) % 31)
+    rev = _srol_parts(_window_xor(b, k), neg33, neg31)
+    canon = fwd + rev
+
+    bad = _window_any(codes > 3, k)
+    valid = (~bad) & (iota <= jnp.int32(n - k))
+    hs = jnp.sort(jnp.where(valid, canon, u64(M64)))
+    prev = jnp.concatenate([hs[:1] ^ u64(1), hs[:-1]])
+    new = (hs != prev) & (hs != u64(M64))
+    rank = jnp.cumsum(new.astype(jnp.int32))
+    n_distinct = rank[-1]
+    wanted = jnp.arange(1, sketchsize + 1, dtype=jnp.int32)
+    at = jnp.clip(jnp.searchsorted(rank, wanted, side='left'), 0, n - 1)
+    bottom = jnp.where(wanted <= n_distinct, hs[at], u64(M64))
+    return bottom, n_distinct
+
+
+@functools.lru_cache(maxsize=None)
+def _bottom_k_kernel(k: int, sketchsize: int):
+    import jax
+
+    return jax.jit(
+        functools.partial(_bottom_k_kernel_impl, k=k, sketchsize=sketchsize)
+    )
 
 
 def device_sketches(
@@ -122,51 +180,99 @@ def device_sketches(
     kmerlen: int,
     sketchsize: int = 1000,
 ) -> list[np.ndarray]:
-    """Bottom-k MinHash sketch per assembly from ntHash canonical values.
+    """Bottom-k MinHash sketch per assembly, computed on device.
 
-    Device-computed per-kmer hashes + `lax.top_k` on the negated values give
-    the k smallest distinct hashes, the same estimator family Mash uses
-    (Ondov et al. 2016) but without leaving the accelerator.
+    All assemblies share ONE padded stream shape (the run's largest, rounded
+    to a power of two), so the whole pass compiles exactly one program.
+    Host work per assembly is O(sketchsize): trimming the returned sketch.
     """
-    import jax
     import jax.numpy as jnp
 
-    from .engine.minimizer import next_pow2, scan_minimizers
+    from .engine.minimizer import next_pow2
 
-    sketches = []
-    for records in record_codes_by_assembly:
-        total = int(sum(len(c) for c in records))
-        if total == 0:
+    budgets = [
+        sum(len(c) for c in recs) + max(0, len(recs) - 1)
+        for recs in record_codes_by_assembly
+    ]
+    n = max(1 << 14, next_pow2(max(budgets, default=1)))
+    kernel = _bottom_k_kernel(kmerlen, sketchsize)
+
+    sketches: list[np.ndarray] = []
+    for recs, used in zip(record_codes_by_assembly, budgets):
+        if used == 0:
             sketches.append(np.zeros(0, np.uint64))
             continue
-        n = max(1 << 14, next_pow2(total))
-        codes = np.full(n, 255, dtype=np.uint8)
-        is_start = np.zeros(n, dtype=bool)
+        stream = np.full(n, 255, dtype=np.uint8)
         off = 0
-        for c in records:
-            if len(c) == 0:
-                continue
-            codes[off:off + len(c)] = c
-            is_start[off] = True
-            off += len(c)
-        # reuse the scan with w=1: every valid k-mer is emitted
-        res = scan_minimizers(jnp.asarray(codes), jnp.asarray(is_start), kmerlen, 1, n)
-        cnt = int(res.count)
-        hashes = np.unique(np.asarray(res.out_hash[:cnt]))
-        sketches.append(hashes[:sketchsize])
+        for c in recs:  # 255 separators between records (see kernel docstring)
+            stream[off:off + len(c)] = c
+            off += len(c) + 1
+        bottom, n_distinct = kernel(jnp.asarray(stream))
+        sketches.append(np.asarray(bottom)[: int(n_distinct)])
     return sketches
 
 
-def sketch_jaccard_matrix(sketches: list[np.ndarray], sketchsize: int) -> np.ndarray:
-    """Pairwise Mash-style Jaccard estimate from bottom-k sketches."""
+def _pair_jaccard_kernel_impl(S, ii, jj, s: int):
+    """Mash-style Jaccard of sketch-row pairs, vectorized on device.
+
+    For each pair: merge the two sorted bottom-s sketches, keep the smallest s
+    distinct values of the union, and count how many occur in both sketches.
+    """
+    import jax.numpy as jnp
+
+    from .ops.hashing import M64
+
+    u64 = jnp.uint64
+    both = jnp.concatenate([S[ii], S[jj]], axis=1)  # [P, 2s]
+    x = jnp.sort(both, axis=1)
+    real = x != u64(M64)
+    dup = jnp.concatenate(
+        [jnp.zeros((x.shape[0], 1), bool), (x[:, 1:] == x[:, :-1]) & real[:, 1:]],
+        axis=1,
+    )
+    distinct_rank = jnp.cumsum((real & ~dup).astype(jnp.int32), axis=1)
+    shared = jnp.sum((dup & (distinct_rank <= s)).astype(jnp.int32), axis=1)
+    total = jnp.minimum(distinct_rank[:, -1], jnp.int32(s))
+    return jnp.where(total > 0, shared / jnp.maximum(total, 1), 0.0)
+
+
+@functools.lru_cache(maxsize=None)
+def _pair_jaccard_kernel(s: int):
+    import jax
+
+    return jax.jit(functools.partial(_pair_jaccard_kernel_impl, s=s))
+
+
+def sketch_jaccard_matrix(
+    sketches: list[np.ndarray], sketchsize: int, pair_block: int = 1 << 13
+) -> np.ndarray:
+    """Full pairwise Jaccard matrix from bottom-k sketches (device compute).
+
+    Pairs (upper triangle + diagonal) run through `_pair_jaccard_kernel` in
+    fixed-size blocks, so large assembly sets reuse one compiled shape.
+    """
+    import jax.numpy as jnp
+
+    from .ops.hashing import M64
+
     n = len(sketches)
+    S = np.full((max(n, 1), sketchsize), M64, dtype=np.uint64)
+    for i, sk in enumerate(sketches):
+        S[i, : min(len(sk), sketchsize)] = sk[:sketchsize]
+    iu, ju = np.triu_indices(n)
     mtx = np.zeros((n, n), dtype=np.float64)
-    for i in range(n):
-        for j in range(i, n):
-            a, b = sketches[i], sketches[j]
-            merged = np.union1d(a, b)[:sketchsize]
-            shared = np.intersect1d(a, b, assume_unique=True)
-            s = np.isin(shared, merged, assume_unique=False).sum()
-            total = len(merged)
-            mtx[i, j] = mtx[j, i] = (s / total) if total else 0.0
+    if len(iu) == 0:
+        return mtx
+    kernel = _pair_jaccard_kernel(sketchsize)
+    S_dev = jnp.asarray(S)
+    block = min(pair_block, 1 << max(4, (len(iu) - 1).bit_length()))
+    for lo in range(0, len(iu), block):
+        ii = np.zeros(block, np.int32)
+        jj = np.zeros(block, np.int32)
+        sel = slice(lo, min(lo + block, len(iu)))
+        m = sel.stop - sel.start
+        ii[:m], jj[:m] = iu[sel], ju[sel]
+        vals = np.asarray(kernel(S_dev, jnp.asarray(ii), jnp.asarray(jj)))[:m]
+        mtx[iu[sel], ju[sel]] = vals
+        mtx[ju[sel], iu[sel]] = vals
     return mtx

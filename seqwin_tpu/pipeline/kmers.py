@@ -18,7 +18,7 @@ from ..assemblies import Assemblies
 from ..config import HAS_MASH, WORKINGDIR, Config, RunState
 from ..graph import HashGraph, build
 from ..graph.build import filter_kmers as _filter_kmers
-from ..utils import print_time_delta
+from ..utils import log_elapsed
 from .subgraphs import get_subgraphs
 
 logger = logging.getLogger(__name__)
@@ -77,7 +77,7 @@ class KmerGraph:
                 f' - Throughput: {len(kmers) / dt:,.0f} minimizers/s, '
                 f'{n_assemblies / dt:,.2f} genomes/s'
             )
-        print_time_delta(dt)
+        log_elapsed(dt)
 
         self.kmers = kmers
         self.nodes = nodes
@@ -120,7 +120,7 @@ class KmerGraph:
         kmers, nodes = _filter_kmers(self.kmers, nodes, used_hashes)
         logger.info(f' - {len(kmers)} k-mers left')
 
-        print_time_delta(time() - tik)
+        log_elapsed(time() - tik)
         self.kmers = kmers
         self.nodes = nodes
         self.edges = edges
@@ -224,7 +224,7 @@ def get_kmers(
         if penalty_th > config.penalty_th_cap:
             penalty_th = config.penalty_th_cap
             logger.warning(f' - calculated penalty threshold is too large (capped at {penalty_th})')
-        print_time_delta(time() - tik)
+        log_elapsed(time() - tik)
     else:
         logger.warning('Penalty threshold is provided (--penalty-th), skip auto estimation')
         jaccard = None

@@ -23,7 +23,7 @@ from ..assemblies import Assemblies  # noqa: E402
 from ..config import BLASTCONFIG, CONSEC_KMER_MUL, HAS_BLAST, WORKINGDIR, Config, RunState  # noqa: E402
 from ..graph.hashgraph import HashGraph, OrderedKmers  # noqa: E402
 from ..ncbi import blast  # noqa: E402
-from ..utils import file_to_write, log_and_raise, mp_wrapper, print_time_delta  # noqa: E402
+from ..utils import claim_file, fail, log_elapsed, pool_map  # noqa: E402
 from .kmers import KmerGraph  # noqa: E402
 
 _BAD_WARNINGS = frozenset((
@@ -263,18 +263,14 @@ def _get_create_ck_args(kg: KmerGraph, n_tar: int, kmerlen: int, windowsize: int
 
 def _fetch_cks_seq(all_cks: list[ConnectedKmers], assemblies: Assemblies, n_cpu: int) -> list[str]:
     """Fetch each candidate's representative sequence (`markers.py:428-471`)."""
-    df_loc = pd.DataFrame(
-        dict(
-            assembly_idx=[ck.rep.assembly_idx for ck in all_cks],
-            record_idx=[ck.rep.record_idx for ck in all_cks],
-            start=[ck.rep.start for ck in all_cks],
-            stop=[ck.rep.stop for ck in all_cks],
-        )
-    )
-    all_seq = assemblies.fetch_seq(df_loc, n_cpu)
+    spans = [
+        (ck.rep.assembly_idx, ck.rep.record_idx, ck.rep.start, ck.rep.stop)
+        for ck in all_cks
+    ]
+    all_seq = assemblies.fetch_seq(spans, n_cpu)
     for ck, seq in zip(all_cks, all_seq):
         ck.rep.seq = seq
-    return all_seq.to_list()
+    return all_seq
 
 
 def _get_cks(
@@ -290,11 +286,11 @@ def _get_cks(
     logger.info('Finding a representative for each low-penalty subgraph...')
     tik = time()
     logger.info(' - Processing each subgraph...')
-    all_cks: list[ConnectedKmers] = mp_wrapper(
+    all_cks: list[ConnectedKmers] = pool_map(
         _create_ck,
         _get_create_ck_args(kmers, n_tar, kmerlen, windowsize),
-        n_cpu=n_cpu,
-        n_jobs=len(kmers.subgraphs),
+        processes=n_cpu,
+        total=len(kmers.subgraphs),
     )
     all_cks = [ck for ck in all_cks if (ck.len >= min_len) and (not ck.is_bad)]
     logger.info(f' - Found {len(all_cks)} candidate signatures')
@@ -303,7 +299,7 @@ def _get_cks(
     all_reps = _fetch_cks_seq(all_cks, assemblies, n_cpu=n_cpu)
     for ck in all_cks:
         ck.rep_ratio = ck.n_rep / n_tar
-    print_time_delta(time() - tik)
+    log_elapsed(time() - tik)
     return all_cks, all_reps
 
 
@@ -336,11 +332,44 @@ def _get_metrics(blast_out, marker_len: int, n_tar: int, n_neg: int) -> MarkerMe
     return MarkerMetrics(**metrics)
 
 
+def _best_hits_per_assembly(blast_out: pd.DataFrame) -> pd.DataFrame:
+    """Reduce raw BLAST hits to one row per (query, subject assembly).
+
+    Explicit selection rule (re-specification of the reference's
+    sort/groupby/head(1) chain, `markers.py:652-668`, with the tie-break
+    pinned rather than inherited from pandas sort internals):
+
+    - the *best hit* of a (qseqid, assembly_idx) group is the row with the
+      highest bitscore; ties go to the hit BLAST reported first;
+    - each group also gets `n_hits` (its row count) and `avg_nident`
+      (mean nident over ALL of its hits, not just the best).
+
+    Output rows are ordered by (qseqid, assembly_idx) ascending.
+    """
+    q = blast_out['qseqid'].to_numpy()
+    a = blast_out['assembly_idx'].to_numpy()
+    score = blast_out['bitscore'].to_numpy()
+    rows = np.arange(len(blast_out))
+    # grouping order: (query, assembly, -bitscore, original row)
+    order = np.lexsort((rows, -score, a, q))
+    qs, as_ = q[order], a[order]
+    head = np.ones(len(order), dtype=bool)
+    head[1:] = (qs[1:] != qs[:-1]) | (as_[1:] != as_[:-1])
+    group_starts = np.flatnonzero(head)
+    group_sizes = np.diff(np.append(group_starts, len(order)))
+
+    best = blast_out.iloc[order[group_starts]].reset_index(drop=True)
+    nident_sorted = blast_out['nident'].to_numpy()[order].astype(np.float64)
+    best['n_hits'] = group_sizes
+    best['avg_nident'] = np.add.reduceat(nident_sorted, group_starts) / group_sizes
+    return best
+
+
 def eval_markers(
     all_seqs: list[str], blastdb: Path, n_tar: int, n_neg: int, n_cpu: int = 1
 ) -> tuple[list[pd.DataFrame], list[MarkerMetrics]]:
     """BLAST each marker against the database, keep the best hit per assembly,
-    and compute metrics (`markers.py:607-696`)."""
+    and compute metrics (contract of `markers.py:607-696`)."""
     if blastdb.name == BLASTCONFIG.title_neg_only:
         neg_only = True
         logger.info('BLAST checking signatures against non-target assemblies (less sensitive but faster)...')
@@ -348,7 +377,7 @@ def eval_markers(
         neg_only = False
         logger.info('BLAST checking signatures against all assemblies (more sensitive but slower)...')
     else:
-        log_and_raise(ValueError, f'Invalid BLAST database title. Must be "{BLASTCONFIG.title_all}" or "{BLASTCONFIG.title_neg_only}"')
+        fail(ValueError, f'Invalid BLAST database title. Must be "{BLASTCONFIG.title_all}" or "{BLASTCONFIG.title_neg_only}"')
     tik = time()
     n_seqs = len(all_seqs)
 
@@ -357,32 +386,20 @@ def eval_markers(
         n_cpu=n_cpu, batch_size=BLASTCONFIG.batch_size,
     )
     if len(blast_out) == 0:
-        log_and_raise(RuntimeError, 'No BLAST hit found')
+        fail(RuntimeError, 'No BLAST hit found')
 
     logger.info(' - Formatting BLAST output...')
-    blast_out[['assembly_idx', 'is_target', 'record_id']] = blast_out['sseqid'].str.split(
-        BLASTCONFIG.header_sep, expand=True,
-    )
-    blast_out.drop(columns='sseqid', inplace=True)
-    blast_out['assembly_idx'] = blast_out['assembly_idx'].astype(int)
-    blast_out['is_target'] = blast_out['is_target'].map(BLASTCONFIG.str2bool)
+    # subject ids carry '{assembly_idx}|{t/f}|{record_id}' (see
+    # assemblies._rewrite_fasta_headers)
+    tags = blast_out.pop('sseqid').str.split(BLASTCONFIG.header_sep, n=2, expand=True)
+    blast_out['assembly_idx'] = tags[0].astype(int)
+    blast_out['is_target'] = tags[1].map(BLASTCONFIG.str2bool)
+    blast_out['record_id'] = tags[2]
 
-    blast_out.sort_values(
-        by=['qseqid', 'assembly_idx', 'bitscore'],
-        ascending=[True, True, False], inplace=True,
-    )
-    grouped = blast_out.groupby(by=['qseqid', 'assembly_idx'], as_index=True, sort=False)
-    nident = grouped['nident'].agg(n_hits='count', avg_nident='mean')
-    blast_out = grouped.head(1)
-    nident.reset_index(drop=True, inplace=True)
-    blast_out.reset_index(drop=True, inplace=True)
-    blast_out = pd.concat([blast_out, nident], axis=1)
-
+    best = _best_hits_per_assembly(blast_out)
     all_blast: list = [None] * n_seqs
-    for i, g in blast_out.groupby('qseqid', sort=False):
-        g = g.drop(columns='qseqid')
-        g.reset_index(drop=True, inplace=True)
-        all_blast[i] = g
+    for i, g in best.groupby('qseqid', sort=False):
+        all_blast[i] = g.drop(columns='qseqid').reset_index(drop=True)
 
     if not neg_only:
         for i, b in enumerate(all_blast):
@@ -390,10 +407,11 @@ def eval_markers(
                 logger.warning(f'Signature at index {i} (0-based) has no BLAST hit in any assembly ({all_seqs[i][:10]}...)')
 
     logger.info(' - Evaluating each signature...')
-    from itertools import repeat
-    metrics_args = zip(all_blast, map(len, all_seqs), repeat(n_tar, n_seqs), repeat(n_neg, n_seqs))
-    metrics = mp_wrapper(_get_metrics, metrics_args, n_cpu, n_jobs=n_seqs)
-    print_time_delta(time() - tik)
+    metrics_args = (
+        (b, len(seq), n_tar, n_neg) for b, seq in zip(all_blast, all_seqs)
+    )
+    metrics = pool_map(_get_metrics, metrics_args, n_cpu, total=n_seqs)
+    log_elapsed(time() - tik)
     return all_blast, metrics
 
 
@@ -435,7 +453,7 @@ def get_markers(
         blastdb = None
 
     markers_fasta = working_dir / WORKINGDIR.markers_fasta
-    file_to_write(markers_fasta, config.overwrite)
+    claim_file(markers_fasta, config.overwrite)
     fasta = []
     csv = []
     all_record_ids = assemblies.record_ids
@@ -449,7 +467,7 @@ def get_markers(
     logger.info(f'Candidate signatures saved as {markers_fasta}')
 
     markers_csv = working_dir / WORKINGDIR.markers_csv
-    file_to_write(markers_csv, config.overwrite)
+    claim_file(markers_csv, config.overwrite)
     pd.DataFrame(
         csv,
         columns=('fasta_header', 'length', *_METRIC_NAMES, 'rep_ratio', 'n_nodes'),

@@ -26,7 +26,7 @@ from heapq import heappop, heappush
 from random import Random
 
 from ..graph.hashgraph import HashGraph
-from ..utils import log_and_raise
+from ..utils import fail
 
 logger = logging.getLogger(__name__)
 
@@ -91,7 +91,7 @@ def get_subgraphs(
     if subgraphs:
         logger.info(f' - Found {len(subgraphs)} low-penalty subgraphs')
     else:
-        log_and_raise(
+        fail(
             RuntimeError,
             ('No low-penalty subgraph was found. '
              'Try decrease --stringency, or increase --penalty-th (penalty threshold, check log for the calculated value)'),

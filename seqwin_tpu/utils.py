@@ -1,7 +1,15 @@
-"""Host utilities: logging, subprocess, multiprocessing, path loading.
+"""Host-side plumbing: failure logging, the filesystem overwrite protocol,
+subprocess execution, and order-preserving process pools.
 
-Behavioral contracts follow `/root/reference/src/seqwin/utils.py` where output
-bytes depend on them (path resolution, FASTA loading lives in `io/fasta.py`).
+Backs the same run protocol as the reference
+(`/root/reference/src/seqwin/utils.py`) but is organized around three
+primitives of our own:
+
+- ``fail``      -- log at CRITICAL, then raise (optionally chained);
+- ``claim_*``   -- the overwrite protocol: a path is *claimed* before writing,
+                   and an existing path is either wiped (``overwrite``) or
+                   refused with ``FileExistsError``;
+- ``pool_map``  -- deterministic, order-preserving multiprocess fan-out.
 """
 from __future__ import annotations
 
@@ -9,226 +17,206 @@ import datetime
 import logging
 import multiprocessing
 import shlex
+import shutil
 import subprocess
 import sys
+from collections import Counter
 from collections.abc import Callable, Hashable, Iterable
-from enum import Enum
 from pathlib import Path
 from time import time
-from typing import Literal
+from typing import Literal, NoReturn
 
 logger = logging.getLogger(__name__)
 
 GZIP_EXT = '.gz'
-BASE_COMP = str.maketrans('ATCGatcg', 'TAGCtagc')
+
+#: sentinel: "leave exception chaining alone" (distinct from ``cause=None``,
+#: which suppresses the chain like ``raise ... from None``)
+_CHAIN = object()
 
 
-class StartMethod(str, Enum):
-    spawn = 'spawn'
-    fork = 'fork'
-    forkserver = 'forkserver'
+def fail(
+    exc: type[Exception] = Exception,
+    msg: str = '',
+    cause: BaseException | None | object = _CHAIN,
+) -> NoReturn:
+    """Log ``msg`` at CRITICAL and raise ``exc(msg)``.
+
+    ``cause=None`` suppresses exception chaining; an exception instance sets
+    ``__cause__``; the default keeps whatever context is active.
+    """
+    logger.critical(msg if msg else exc.__name__)
+    if cause is _CHAIN:
+        raise exc(msg)
+    raise exc(msg) from cause  # type: ignore[misc]
 
 
-_START_METHOD = StartMethod.spawn if sys.platform == 'win32' else StartMethod.fork
-
-
-def print_time_delta(seconds: float) -> None:
+def log_elapsed(seconds: float) -> None:
+    """Phase timer line (same format as the reference run logs)."""
     logger.info(f' - Finished in {datetime.timedelta(seconds=seconds)}')
 
 
-def log_and_raise(
-    exception: type[Exception] = Exception,
-    msg: str = '',
-    from_none: bool = False,
-    from_e: BaseException | None = None,
-) -> None:
-    logger.critical(msg or exception.__name__)
-    if from_none and from_e is not None:
-        raise ValueError('Use only one of from_none or from_e')
-    if from_none:
-        raise exception(msg) from None
-    if from_e is not None:
-        raise exception(msg) from from_e
-    raise exception(msg)
-
-
-def overwrite_warning(path: Path) -> None:
-    logger.warning(
-        f'File/directory already exists, content is overwritten (overwriting is turned on): {path}'
-    )
-
-
-def overwrite_error(path: Path) -> None:
-    log_and_raise(
-        FileExistsError,
-        f'File/directory already exists, and overwriting is turned off: {path}',
-        from_none=True,
-    )
-
-
 def read_text(path: Path) -> str:
+    """UTF-8 text with universal newline normalization."""
     with open(path, 'r', encoding='utf-8', newline=None) as f:
         return f.read()
 
 
-def mkdir(path: Path, overwrite: bool = False, verbose: bool = False) -> None:
-    import shutil
+def _refuse_existing(path: Path) -> NoReturn:
+    fail(
+        FileExistsError,
+        f'File/directory already exists, and overwriting is turned off: {path}',
+        cause=None,
+    )
 
-    try:
-        path.mkdir(parents=False, exist_ok=False)
-    except FileExistsError:
-        if path.is_file():
-            log_and_raise(
-                NotADirectoryError,
-                f'Cannot create directory, since it already exists as a file: {path}',
-            )
-        elif overwrite:
-            if verbose:
-                overwrite_warning(path)
+
+def warn_overwrite(path: Path) -> None:
+    logger.warning(
+        'File/directory already exists, content is overwritten '
+        f'(overwriting is turned on): {path}'
+    )
+
+
+def claim_dir(
+    path: Path, overwrite: bool = False, verbose: bool = False, wipe: bool = True
+) -> None:
+    """Claim ``path`` as a directory, creating it if needed.
+
+    An existing directory is an error unless ``overwrite`` is set; with
+    ``overwrite`` it is emptied (``wipe=True``) or reused in place
+    (``wipe=False`` -- the working-directory pattern, where individual files
+    are re-claimed one by one).
+    """
+    if path.is_dir():
+        if not overwrite:
+            _refuse_existing(path)
+        if verbose:
+            warn_overwrite(path)
+        if wipe:
             shutil.rmtree(path)
-            path.mkdir()
-        else:
-            overwrite_error(path)
+            path.mkdir(parents=False)
+    elif path.exists():
+        fail(
+            NotADirectoryError,
+            f'Cannot create directory, since it already exists as a file: {path}',
+        )
+    else:
+        path.mkdir(parents=False)
 
 
-def file_to_write(path: Path, overwrite: bool = False, verbose: bool = False) -> None:
+def claim_file(path: Path, overwrite: bool = False, verbose: bool = False) -> None:
+    """Claim ``path`` for a file write: remove an existing file (``overwrite``)
+    or refuse; a directory at ``path`` is always an error."""
+    if path.is_dir():
+        fail(IsADirectoryError, f'Expected a file, but a directory is found: {path}')
     if path.is_file():
-        if overwrite:
-            if verbose:
-                overwrite_warning(path)
-            path.unlink()
-        else:
-            overwrite_error(path)
-    elif path.is_dir():
-        log_and_raise(IsADirectoryError, f'Expected a file, but a directory is found: {path}')
+        if not overwrite:
+            _refuse_existing(path)
+        if verbose:
+            warn_overwrite(path)
+        path.unlink()
 
 
 def list_dir(path: Path = Path.cwd(), mode: Literal['a', 'd', 'f'] = 'a') -> list[Path]:
+    """Children of ``path`` sorted by name; 'd' = dirs only, 'f' = files only."""
     if not path.is_dir():
-        log_and_raise(NotADirectoryError, f'Not a directory: {path}')
-    if mode == 'd':
-        entries = (p for p in path.iterdir() if p.is_dir())
-    elif mode == 'f':
-        entries = (p for p in path.iterdir() if p.is_file())
-    elif mode == 'a':
-        entries = path.iterdir()
-    else:
-        log_and_raise(ValueError, f'Invalid mode for list_dir: {mode}')
-    return sorted(entries, key=lambda p: p.name)
+        fail(NotADirectoryError, f'Not a directory: {path}')
+    predicates: dict[str, Callable[[Path], bool]] = {
+        'a': lambda p: True,
+        'd': Path.is_dir,
+        'f': Path.is_file,
+    }
+    keep = predicates.get(mode)
+    if keep is None:
+        fail(ValueError, f'Invalid mode for list_dir: {mode}')
+    return sorted((p for p in path.iterdir() if keep(p)), key=lambda p: p.name)
 
 
-def run_cmd(
-    *args: str | Path, stdin: str | None = None, raise_error: bool = True
+def run_tool(
+    *argv: str | Path, stdin: str | None = None, check: bool = True
 ) -> subprocess.CompletedProcess:
-    for a in args:
-        if not isinstance(a, (str, Path)):
-            log_and_raise(TypeError, 'Only str or Path are accepted as command line arguments')
+    """Run an external tool, capturing text output.
+
+    On non-zero exit with ``check``, the failure (command line, exit code,
+    stderr) is logged and re-raised as ``RuntimeError``.
+    """
+    bad = [a for a in argv if not isinstance(a, (str, Path))]
+    if bad:
+        fail(TypeError, 'Only str or Path are accepted as command line arguments')
     try:
-        return subprocess.run(args, input=stdin, capture_output=True, text=True, check=raise_error)
-    except subprocess.CalledProcessError as e:
-        msg = (
-            'Subprocess failed\n'
-            f'cmd: {shlex.join(str(c) for c in e.cmd)}\n'
-            f'exit code: {e.returncode}\n'
-            f'stderr:\n{(e.stderr or "").strip()}'
+        return subprocess.run(
+            argv, input=stdin, capture_output=True, text=True, check=check
         )
-        log_and_raise(RuntimeError, msg, from_e=e)
+    except subprocess.CalledProcessError as e:
+        lines = [
+            'Subprocess failed',
+            f'cmd: {shlex.join(str(c) for c in e.cmd)}',
+            f'exit code: {e.returncode}',
+            f'stderr:\n{(e.stderr or "").strip()}',
+        ]
+        fail(RuntimeError, '\n'.join(lines), cause=e)
 
 
-def mp_wrapper(
-    func: Callable,
-    all_args: Iterable,
-    n_cpu: int = 1,
-    text: str | None = None,
-    starmap: bool = True,
-    n_jobs: int | None = None,
-    start_method: StartMethod | None = _START_METHOD,
+def _pool_context() -> multiprocessing.context.BaseContext:
+    # fork on POSIX (cheap, inherits loaded data), spawn where fork is unsafe
+    return multiprocessing.get_context('spawn' if sys.platform == 'win32' else 'fork')
+
+
+def pool_map(
+    fn: Callable,
+    jobs: Iterable,
+    processes: int = 1,
+    star: bool = True,
+    label: str | None = None,
+    total: int | None = None,
 ) -> list:
-    """Pool wrapper with the reference's chunksize heuristic
-    (`/root/reference/src/seqwin/utils.py:217-278`)."""
-    tik = time()
-    if text:
-        logger.info(f'{text} (processes={n_cpu})')
-    if n_cpu == 1:
-        if starmap:
-            func_out = [func(*args) for args in all_args]
-        else:
-            func_out = [func(args) for args in all_args]
-    elif n_cpu > 1:
-        if n_jobs is not None:
-            chunksize, extra = divmod(n_jobs, 4 * n_cpu)
-            if extra:
-                chunksize += 1
-        else:
-            chunksize = None
-        with multiprocessing.get_context(method=start_method).Pool(processes=n_cpu) as pool:
-            if starmap:
-                func_out = pool.starmap(func, all_args, chunksize=chunksize)
-            else:
-                func_out = pool.map(func, all_args, chunksize=chunksize)
+    """Map ``fn`` over ``jobs`` with an optional process pool.
+
+    Results always come back in job order. ``total`` (when the job count is
+    known) sizes pool chunks as ceil(total / 4*processes), matching stdlib
+    heuristics without materializing ``jobs``.
+    """
+    t0 = time()
+    if label:
+        logger.info(f'{label} (processes={processes})')
+    if processes < 1:
+        fail(ValueError, 'n_cpu should be an positive integer')
+    if processes == 1:
+        out = [fn(*j) for j in jobs] if star else [fn(j) for j in jobs]
     else:
-        log_and_raise(ValueError, 'n_cpu should be an positive integer')
-    if text:
-        print_time_delta(time() - tik)
-    return func_out
+        chunksize = None if total is None else -(-total // (4 * processes)) or 1
+        with _pool_context().Pool(processes=processes) as pool:
+            mapper = pool.starmap if star else pool.map
+            out = mapper(fn, jobs, chunksize=chunksize)
+    if label:
+        log_elapsed(time() - t0)
+    return out
 
 
-def get_dups(iterable: Iterable[Hashable]) -> set:
-    seen = set()
-    duplicates = []
-    for i in iterable:
-        if i in seen:
-            duplicates.append(i)
-        else:
-            seen.add(i)
-    return set(duplicates)
-
-
-def revcomp(seq: str) -> str:
-    return seq.translate(BASE_COMP)[::-1]
-
-
-def get_chunks(ls, n: int = 1):
-    """Yield n roughly equal chunks of a sequence."""
-    size, remainder = divmod(len(ls), n)
-    stop = 0
-    for i in range(n):
-        start = stop
-        stop = start + size + (1 if i < remainder else 0)
-        yield ls[start:stop]
-
-
-def most_common(iterable: Iterable[Hashable]):
-    """Most common element of an iterable."""
-    from collections import Counter
-
-    return Counter(iterable).most_common(1)[0][0]
-
-
-def most_common_weighted(iterable: Iterable):
-    """Most common element, weighted by element length."""
-    from collections import Counter
-
-    c = Counter(iterable)
-    return max(c, key=lambda k: len(k) * c[k])
+def duplicates(items: Iterable[Hashable]) -> set:
+    """Set of elements appearing more than once."""
+    return {x for x, n in Counter(items).items() if n > 1}
 
 
 def load_paths_txt(paths_txt: Path) -> list[Path]:
-    """One path per line; relative paths resolved against the txt's directory."""
+    """One path per line; relative entries resolve against the txt's directory.
+
+    Missing files and directories are logged and skipped (the reference's
+    lenient input-list semantics, `utils.py:459-489`).
+    """
     paths_txt = paths_txt.resolve(strict=True)
-    base_dir = paths_txt.parent
-    paths_list: list[Path] = []
-    for path in paths_txt.read_text().splitlines():
-        path = path.strip()
-        if not path:
+    found: list[Path] = []
+    for raw in paths_txt.read_text().splitlines():
+        entry = raw.strip()
+        if not entry:
             continue
-        p = Path(path)
-        if not p.is_absolute():
-            p = base_dir / p
-        if p.is_file():
-            paths_list.append(p.resolve(strict=True))
-        elif p.is_dir():
-            logger.error(f' - This is a directory, skipped: {p}')
+        candidate = Path(entry)
+        if not candidate.is_absolute():
+            candidate = paths_txt.parent / candidate
+        if candidate.is_file():
+            found.append(candidate.resolve(strict=True))
+        elif candidate.is_dir():
+            logger.error(f' - This is a directory, skipped: {candidate}')
         else:
-            logger.error(f' - File not found, skipped: {p}')
-    return paths_list
+            logger.error(f' - File not found, skipped: {candidate}')
+    return found
