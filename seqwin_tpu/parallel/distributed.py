@@ -1,24 +1,37 @@
-"""Multi-chip minimizer graph construction: shard_map scan + collective merge.
+"""Multi-chip minimizer graph construction: one shard_map program that scans,
+routes, and REDUCES on the bucket owners.
 
 TPU-native analog of the reference's thread sharding + merge
 (`/root/reference/cpp/src/seqwin/graph.cpp:291-318` contiguous assembly
 partition; `/root/reference/cpp/src/seqwin/helpers.cpp:323-424` concat +
-stable radix sort + run-merge). The design:
+stable radix sort + run-merge). The full build step is a single jitted
+shard_map over a 1-D device mesh:
 
-1. **Genome data parallelism** -- records are partitioned into contiguous
-   shards over a 1-D device mesh; every device runs the same scan kernel
-   (`engine/minimizer.py`) on its own flat record stream.
-2. **Hash-bucketed all_to_all** -- each emitted minimizer is routed to the
-   device that owns its hash range (top log2(D) bits of out_hash), riding ICI.
-   Blocks are concatenated in source order, so every bucket receives its
-   entries in global scan order (shards are contiguous record ranges).
-3. **Per-bucket merge** -- a stable local sort by hash on the bucket owner
-   reproduces the reference's merged node layout; concatenating the buckets
-   in device order yields the globally hash-sorted node array.
+1. **Scan** -- every device runs the fast hybrid engine on its contiguous
+   record shard: fused phase-1 (Pallas on TPU, XLA elsewhere), host-computed
+   irregular-window patches shipped in as sharded arrays, phase-2 emission
+   extraction (`engine/hybrid.py`).
+2. **Route** -- emissions (and adjacency pairs, keyed by their canonical
+   smaller endpoint) are staged into per-destination blocks with ONE stable
+   sort + gather (no scatter: TPU scatter is ~10x slower than sort at 16M
+   elements, PERF.md) and exchanged with `all_to_all` over ICI. The hash
+   space is range-partitioned monotonically, so device-order concatenation
+   of the buckets is globally hash-sorted.
+3. **Merge on the owner** -- each device reduces ITS bucket: stable
+   hash-sort, per-(hash, assembly) dedup'd n_tar/n_neg node reduction, and
+   per-(u, v, assembly) dedup'd edge weights. Only finished node/edge/kmer
+   arrays leave the program; the host just trims, rebases kmer offsets, and
+   concatenates in device order.
 
-The same output-invariance contract as the reference's thread-count tests
-(`/root/reference/tests/smoke/test_graph.py:59-121`) holds across device
-counts; the unit suite checks 1-vs-8-device equality on a virtual CPU mesh.
+Output is byte-identical to the single-chip `graph.build` for any device
+count (the TPU version of the reference's thread-count-equivalence contract,
+`/root/reference/tests/smoke/test_graph.py:59-121`).
+
+`scan_record_sharded` additionally shards ONE oversized record across the
+mesh with (w-1)-valid-kmer halos; the cross-block emission state is a single
+scalar per block (the last emitted position -- see
+`engine/hybrid.scan_record_blocks`), exchanged with one all_gather, so the
+sequential carry chain costs one tiny collective.
 """
 from __future__ import annotations
 
@@ -31,9 +44,15 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..engine.minimizer import ScanResult, next_pow2, scan_core
+from ..engine.aggregate import _extract_ascending, _merge_nodes
+from ..engine.hybrid import _host_irregular, _host_patch_z, scan_phase1, scan_phase2
+from ..engine.minimizer import next_pow2
+from ..ops.hashing import out_hash_mult
 
 _U64 = jnp.uint64
+i32 = jnp.int32
+i64 = jnp.int64
+_I64_PAD = np.int64(1) << 40
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -46,195 +65,430 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 
 
 @dataclass(frozen=True)
-class ShardedBuildSpec:
+class ShardSpec:
     """Static geometry of one distributed build step."""
 
     k: int
     w: int
-    n_bases: int      # bases per shard (padded)
-    emit_cap: int     # per-shard emission capacity
-    bucket_cap: int   # per-(src, dst) all_to_all block size
+    n_bases: int        # padded stream length per shard
+    offset: int         # stream start offset (pallas halo rows; 0 for XLA)
+    emit_cap: int       # per-shard emission capacity
+    bucket_cap: int     # per-(src, dst) all_to_all block size
+    use_pallas: bool
 
     @property
-    def merge_cap(self) -> int:
-        # each bucket owner receives one block per source device
-        return self.bucket_cap
+    def rx_size(self) -> int:
+        return self.bucket_cap  # one block per source, concatenated later
 
 
-def _route_to_buckets(res: ScanResult, rec_base, n_devices: int, bucket_cap: int):
-    """Stage emitted entries into [D, bucket_cap] blocks keyed by hash range.
+def _hash_bucket(oh, live, n_dev: int):
+    """Monotone range partition of the hash space into n_dev buckets
+    (dead entries -> bucket n_dev, sorted to the tail)."""
+    hi32 = (oh >> _U64(32)).astype(i64)
+    return jnp.where(live, ((hi32 * n_dev) >> 32).astype(i32), i32(n_dev))
 
-    Bucket id = top log2(D) bits of out_hash, so concatenated buckets are
-    globally ordered by hash. Entries keep their within-shard order inside
-    each block (stable scatter by running rank), preserving scan order.
+
+def _route_blocks(bucket, payloads, pads, n_dev: int, cap: int):
+    """Stage entries into [n_dev, cap] per-destination blocks.
+
+    One stable sort by bucket (order within a bucket = input order = scan
+    order) + searchsorted run bounds + a gather. Returns (blocks, overflow):
+    overflow > 0 means some bucket had more than ``cap`` entries.
     """
-    real = res.rec >= 0
-    # monotone range partition of the hash space into n_devices buckets:
-    # bucket = floor(hi32(hash) * D / 2^32). Monotonicity keeps the
-    # device-order concatenation globally hash-sorted.
-    hi32 = (res.out_hash >> _U64(32)).astype(jnp.int64)
-    bucket = jnp.where(
-        real,
-        ((hi32 * n_devices) >> 32).astype(jnp.int32),
-        jnp.int32(n_devices),
+    m = bucket.shape[0]
+    sorted_ops = jax.lax.sort((bucket,) + tuple(payloads), num_keys=1, is_stable=True)
+    sb = sorted_ops[0]
+    svals = sorted_ops[1:]
+    dests = jnp.arange(n_dev, dtype=sb.dtype)
+    lo = jnp.searchsorted(sb, dests, side='left')
+    cnt = jnp.searchsorted(sb, dests, side='right') - lo
+    r = jnp.arange(cap, dtype=i32)[None, :]
+    idx = jnp.clip(lo[:, None].astype(i32) + r, 0, m - 1)
+    keep = r < cnt[:, None]
+    blocks = tuple(
+        jnp.where(keep, v[idx], jnp.asarray(pad, dtype=v.dtype))
+        for v, pad in zip(svals, pads)
     )
-    # rank of each entry within its bucket, in scan order
-    onehot = (bucket[:, None] == jnp.arange(n_devices, dtype=jnp.int32)[None, :])
-    rank = jnp.cumsum(onehot, axis=0) - 1  # [emit_cap, D]
-    my_rank = jnp.take_along_axis(
-        rank, jnp.clip(bucket, 0, n_devices - 1)[:, None], axis=1
-    )[:, 0]
-    flat_tgt = jnp.where(
-        real & (my_rank < bucket_cap),
-        jnp.clip(bucket, 0, n_devices - 1).astype(jnp.int64) * bucket_cap + my_rank,
-        jnp.int64(n_devices * bucket_cap),
-    )
-    rec_g = jnp.where(real, res.rec + rec_base, -1)
-    stage_oh = jnp.zeros((n_devices * bucket_cap,), dtype=_U64).at[flat_tgt].set(res.out_hash, mode='drop')
-    stage_pos = jnp.zeros((n_devices * bucket_cap,), dtype=jnp.uint32).at[flat_tgt].set(res.pos, mode='drop')
-    stage_rec = jnp.full((n_devices * bucket_cap,), jnp.int32(-1)).at[flat_tgt].set(rec_g, mode='drop')
-    # overflow detection: total per-bucket counts
-    sent = jnp.sum(onehot & real[:, None], axis=0)  # [D]
-    return (
-        stage_oh.reshape(n_devices, bucket_cap),
-        stage_pos.reshape(n_devices, bucket_cap),
-        stage_rec.reshape(n_devices, bucket_cap),
-        sent,
+    return blocks, jnp.max(cnt) - cap
+
+
+def _exchange(blocks):
+    """all_to_all each [n_dev, cap] staging block; device j ends up with every
+    source's block j, stacked in source order along axis 0."""
+    return tuple(
+        jax.lax.all_to_all(b, 'd', split_axis=0, concat_axis=0, tiled=False)
+        for b in blocks
     )
 
 
-def _shard_step(codes, is_start, rec_base, spec: ShardedBuildSpec, n_devices: int):
-    """Per-device body: scan own records, route minimizers to bucket owners,
-    merge the received bucket by hash. Runs under shard_map."""
-    codes = codes.reshape(-1)
-    is_start = is_start.reshape(-1)
+def _reduce_edges(u, v, asm, valid, edge_cap: int):
+    """Per-bucket edge reduction: distinct (u, v) pairs with weight =
+    #distinct assemblies (the reference's once-per-assembly edge counting,
+    `graph.cpp:147-159`), sorted by (first, second)."""
+    pad = (~valid).astype(jnp.uint8)
+    _, t_u, t_v, t_a = jax.lax.sort((pad, u, v, asm), num_keys=4, is_stable=False)
+    n = t_u.shape[0]
+    n_real = jnp.sum(valid.astype(i32))
+    idx = jnp.arange(n, dtype=i32)
+    real = idx < n_real
+
+    prev_u = jnp.concatenate([t_u[:1], t_u[:-1]])
+    prev_v = jnp.concatenate([t_v[:1], t_v[:-1]])
+    prev_a = jnp.concatenate([jnp.full((1,), i32(-1)), t_a[:-1]])
+    new_edge = real & ((idx == 0) | (t_u != prev_u) | (t_v != prev_v))
+    new_triple = real & (new_edge | (t_a != prev_a))
+    csum = jnp.cumsum(new_triple.astype(i32))
+
+    starts, n_edges = _extract_ascending(new_edge, idx, edge_cap)
+    live = starts >= 0
+    safe = jnp.clip(starts, 0, n - 1)
+    stops = jnp.concatenate([safe[1:], jnp.full((1,), i32(0))])
+    stops = jnp.where(jnp.concatenate([live[1:], jnp.full((1,), False)]), stops, n_real)
+    stops = jnp.where(live, stops, i32(0))
+    e_first = jnp.where(live, t_u[safe], _U64(0))
+    e_second = jnp.where(live, t_v[safe], _U64(0))
+    c_stop = csum[jnp.clip(stops - 1, 0, n - 1)]
+    c_start = jnp.where(safe > 0, csum[jnp.clip(safe - 1, 0, n - 1)], i32(0))
+    weight = jnp.where(live, c_stop - c_start, i32(0))
+    return e_first, e_second, weight, n_edges
+
+
+def _shard_phase1(codes_aug, spec: ShardSpec):
+    if spec.use_pallas:
+        from ..engine.pallas_scan import L as _LANES, pallas_phase1
+
+        interpret = jax.default_backend() not in ('tpu', 'axon')
+        z_clean, c_lo, c_hi = pallas_phase1(
+            codes_aug.reshape(-1, _LANES), spec.k, spec.w, interpret=interpret
+        )
+        canon = c_lo.astype(_U64) | (c_hi.astype(_U64) << _U64(32))
+        tail = spec.n_bases - z_clean.shape[0]
+        if tail:
+            z_clean = jnp.concatenate([z_clean, jnp.full((tail,), i32(-1))])
+            canon = jnp.concatenate([canon, jnp.zeros((tail,), dtype=_U64)])
+        return z_clean, canon
+    return scan_phase1(codes_aug, spec.k, spec.w)
+
+
+def _shard_step(
+    codes_aug, patch_pos, patch_z, starts, rec_base,
+    asm_offsets, is_target,
+    spec: ShardSpec, n_dev: int,
+):
+    """Per-device body: hybrid scan + routed per-bucket node/edge merge."""
+    codes_aug = codes_aug.reshape(-1)
+    patch_pos = patch_pos.reshape(-1)
+    patch_z = patch_z.reshape(-1)
+    starts = starts.reshape(-1)
     rec_base = rec_base.reshape(())
-    res = scan_core(codes, is_start, spec.k, spec.w, spec.emit_cap)
-    oh_blk, pos_blk, rec_blk, sent = _route_to_buckets(res, rec_base, n_devices, spec.bucket_cap)
+    asm_offsets = asm_offsets.reshape(-1)
+    is_target = is_target.reshape(-1)
 
-    # all_to_all: device j receives [D, bucket_cap] = every source's block j
-    oh_rx = jax.lax.all_to_all(oh_blk, 'd', split_axis=0, concat_axis=0, tiled=False)
-    pos_rx = jax.lax.all_to_all(pos_blk, 'd', split_axis=0, concat_axis=0, tiled=False)
-    rec_rx = jax.lax.all_to_all(rec_blk, 'd', split_axis=0, concat_axis=0, tiled=False)
-
-    # flatten in source order (shards are contiguous record ranges -> global
-    # scan order), then stable sort by hash
-    oh_f = oh_rx.reshape(-1)
-    pos_f = pos_rx.reshape(-1)
-    rec_f = rec_rx.reshape(-1)
-    pad = (rec_f < 0).astype(jnp.uint8)
-    pad_s, oh_s, pos_s, rec_s = jax.lax.sort(
-        (pad, oh_f, pos_f, rec_f), num_keys=2, is_stable=True
+    z_clean, canon = _shard_phase1(codes_aug, spec)
+    mult = jnp.uint64(out_hash_mult(spec.k))
+    e_oh, e_pos, e_rec, count, e_asm = scan_phase2(
+        z_clean, canon, patch_pos, patch_z, starts, mult,
+        rec_base.astype(i32), asm_offsets, spec.emit_cap,
     )
-    n_real = jnp.sum((rec_s >= 0).astype(jnp.int64))
-    # overflow indicator: emissions beyond emit_cap or bucket_cap were dropped
-    overflow = jnp.maximum(res.count - spec.emit_cap, jnp.max(sent) - spec.bucket_cap)
-    # raw per-shard emissions (scan order, global record ids) for edge building
-    raw_rec = jnp.where(res.rec >= 0, res.rec + rec_base, -1)
+    live = e_rec >= 0
+
+    # --- adjacency pairs at the source (never span records or shards) ---
+    nxt_oh = jnp.concatenate([e_oh[1:], e_oh[:1]])
+    nxt_rec = jnp.concatenate([e_rec[1:], jnp.full((1,), i32(-1))])
+    pair_ok = live & (e_rec == nxt_rec)
+    p_u = jnp.minimum(e_oh, nxt_oh)
+    p_v = jnp.maximum(e_oh, nxt_oh)
+
+    # --- route minimizers to their hash-bucket owners ---
+    cap = spec.bucket_cap
+    (b_oh, b_pos, b_rec, b_asm), mo = _route_blocks(
+        _hash_bucket(e_oh, live, n_dev),
+        (e_oh, e_pos, e_rec, e_asm),
+        (0, 0, -1, 0), n_dev, cap,
+    )
+    rx_oh, rx_pos, rx_rec, rx_asm = _exchange((b_oh, b_pos, b_rec, b_asm))
+    rx_oh, rx_pos, rx_rec, rx_asm = (
+        rx_oh.reshape(-1), rx_pos.reshape(-1), rx_rec.reshape(-1), rx_asm.reshape(-1),
+    )
+    rx = rx_oh.shape[0]
+
+    # --- route edge pairs by bucket(first) ---
+    (b_u, b_v, b_ea), eo = _route_blocks(
+        _hash_bucket(p_u, pair_ok, n_dev),
+        (p_u, p_v, e_asm),
+        (0, 0, -1), n_dev, cap,
+    )
+    rx_u, rx_v, rx_ea = _exchange((b_u, b_v, b_ea))
+    rx_u, rx_v, rx_ea = rx_u.reshape(-1), rx_v.reshape(-1), rx_ea.reshape(-1)
+
+    # --- merge this bucket: nodes + grouped kmers ---
+    m = jnp.sum((rx_rec >= 0).astype(i32))
+    (s_pos, s_rec, node_hash, n_start, n_stop, n_tar, n_neg, n_nodes) = _merge_nodes(
+        rx_oh, rx_pos, rx_rec, rx_asm, is_target, m, rx
+    )
+    e_first, e_second, e_weight, n_edges = _reduce_edges(
+        rx_u, rx_v, rx_ea, rx_ea >= 0, rx
+    )
+
+    overflow = jnp.maximum(jnp.maximum(mo, eo), count - spec.emit_cap)
     return (
-        oh_s[None], pos_s[None], rec_s[None],
-        res.out_hash[None], res.pos[None], raw_rec[None],
-        n_real[None], res.count[None], overflow[None],
+        s_pos[None], s_rec[None],
+        node_hash[None], n_start[None], n_stop[None], n_tar[None], n_neg[None],
+        e_first[None], e_second[None], e_weight[None],
+        m[None], n_nodes[None], n_edges[None], count[None], overflow[None],
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=('spec', 'n_devices', 'mesh'),
-)
-def _sharded_build_jit(codes, is_start, rec_base, spec, n_devices, mesh):
-    body = functools.partial(_shard_step, spec=spec, n_devices=n_devices)
+@functools.partial(jax.jit, static_argnames=('spec', 'n_dev', 'mesh'))
+def _sharded_build_jit(
+    codes_aug, patch_pos, patch_z, starts, rec_base, asm_offsets, is_target,
+    spec, n_dev, mesh,
+):
+    body = functools.partial(_shard_step, spec=spec, n_dev=n_dev)
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P('d'), P('d'), P('d')),
-        out_specs=tuple(P('d') for _ in range(9)),
-    )(codes, is_start, rec_base)
+        in_specs=(P('d'), P('d'), P('d'), P('d'), P('d'), P(), P()),
+        out_specs=tuple(P('d') for _ in range(15)),
+    )(codes_aug, patch_pos, patch_z, starts, rec_base, asm_offsets, is_target)
 
 
-def sharded_scan(
-    record_codes: list[np.ndarray],
-    k: int,
-    w: int,
-    mesh: Mesh,
-    emit_cap: int | None = None,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Distributed scan+merge over a 1-D mesh.
+def partition_records(record_lengths, n_dev: int):
+    """Contiguous, load-balanced record partition (device analog of the
+    reference's base+remainder thread split, `graph.cpp:305-306`).
 
-    Returns (oh, pos, rec) with nodes merged per hash bucket: the
-    concatenation over devices is sorted by hash with scan order within each
-    hash group -- the same layout `engine.aggregate` produces on one chip.
+    Returns per-record shard assignment as an int array.
     """
-    n_dev = mesh.devices.size
-    # contiguous partition of records over devices, balanced by bases
-    # (mirror of graph.cpp:305-306 base+remainder split, but by load)
-    total = sum(len(c) for c in record_codes)
-    per_dev_records: list[list[np.ndarray]] = [[] for _ in range(n_dev)]
-    per_dev_base: list[int] = []
+    total = int(sum(record_lengths))
     budget = total / n_dev if n_dev else 0
-    di = 0
+    out = np.zeros(len(record_lengths), dtype=np.int32)
     acc = 0
+    d = 0
+    for i, n in enumerate(record_lengths):
+        if acc > budget * (d + 1) and d < n_dev - 1:
+            d += 1
+        out[i] = d
+        acc += int(n)
+    return out
+
+
+def _shard_layout(record_codes, shard_of, n_dev: int, k: int, w: int,
+                  use_pallas: bool, min_bases: int = 1 << 14):
+    """Host prep: per-shard augmented code streams, record starts, and
+    irregular-window patches, all padded to shared shapes."""
+    per_dev: list[list[np.ndarray]] = [[] for _ in range(n_dev)]
+    for c, d in zip(record_codes, shard_of):
+        per_dev[d].append(c)
     rec_base = np.zeros(n_dev, dtype=np.int32)
-    rec_count = 0
-    for c in record_codes:
-        if acc > budget * (di + 1) and di < n_dev - 1:
-            di += 1
-        if not per_dev_records[di]:
-            rec_base[di] = rec_count
-        per_dev_records[di].append(c)
-        acc += len(c)
-        rec_count += 1
-    # fix rec_base for empty shards
     cum = 0
     for d in range(n_dev):
         rec_base[d] = cum
-        cum += len(per_dev_records[d])
+        cum += len(per_dev[d])
 
-    n_bases = max(1 << 14, next_pow2(max(1, max(
-        (sum(len(c) for c in recs) for recs in per_dev_records), default=1
-    ))))
-    if emit_cap is None:
-        emit_cap = max(1 << 12, next_pow2(4 * n_bases // (w + 1) + 64))
-    bucket_cap = emit_cap
+    max_total = max((sum(len(c) for c in recs) for recs in per_dev), default=1)
+    if use_pallas:
+        from ..engine.pallas_scan import phase1_shapes
 
-    codes = np.full((n_dev, n_bases), 255, dtype=np.uint8)
-    is_start = np.zeros((n_dev, n_bases), dtype=bool)
-    for d, recs in enumerate(per_dev_records):
-        off = 0
-        for c in recs:
+        _, n, offset = phase1_shapes(max(max_total, min_bases), k, w)
+    else:
+        n = max(min_bases, next_pow2(max(1, max_total)))
+        offset = 0
+
+    scap = max(64, next_pow2(max((len(r) for r in per_dev), default=1)))
+    codes = np.full((n_dev, n), 255, dtype=np.uint8)
+    starts = np.full((n_dev, scap), n, dtype=np.int32)
+    patches = []
+    for d, recs in enumerate(per_dev):
+        off = offset
+        for ri, c in enumerate(recs):
             codes[d, off:off + len(c)] = c
-            is_start[d, off] = True
+            starts[d, ri] = off
             off += len(c)
+        codes[d, starts[d, :len(recs)]] |= 64
+        irr_pos, members = _host_irregular(
+            codes[d], starts[d, :len(recs)].astype(np.int64), k, w, n, total=off
+        )
+        patches.append((irr_pos, _host_patch_z(codes[d], members, k)))
 
-    spec = ShardedBuildSpec(k=k, w=w, n_bases=n_bases, emit_cap=emit_cap, bucket_cap=bucket_cap)
+    pcap = max(256, next_pow2(max((len(p[0]) for p in patches), default=1) or 1))
+    patch_pos = np.full((n_dev, pcap), n, dtype=np.int32)
+    patch_z = np.full((n_dev, pcap), -1, dtype=np.int32)
+    for d, (pp, pz) in enumerate(patches):
+        patch_pos[d, :len(pp)] = pp
+        patch_z[d, :len(pp)] = pz
+    return codes, starts, patch_pos, patch_z, rec_base, n, offset
+
+
+def _asm_offset_buckets(record_offsets) -> np.ndarray:
+    """Bucketed global-record -> assembly offsets (`hybrid.scan_chunk_device`
+    encoding: leading sentinel makes searchsorted-right count offsets <= rec)."""
+    off_h = np.asarray(record_offsets, dtype=np.int64)
+    ocap = max(64, next_pow2(len(off_h)))
+    out = np.full(ocap, _I64_PAD, dtype=np.int64)
+    out[:len(off_h)] = off_h
+    out[0] = np.iinfo(np.int64).min
+    return out
+
+
+def _to_mesh_arrays(mesh: Mesh, sharded: dict, replicated: dict):
+    """Device-put inputs for the build program. Single-process: plain arrays.
+    Multi-process: every process contributes the rows of the devices IT
+    addresses (`jax.make_array_from_process_local_data`), so the global
+    [D, ...] arrays exist without any host holding them whole."""
+    if jax.process_count() == 1:
+        return {k: jnp.asarray(v) for k, v in {**sharded, **replicated}.items()}
+    from jax.sharding import NamedSharding
+
+    out = {}
+    for k, v in sharded.items():
+        out[k] = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P('d')), v
+        )
+    for k, v in replicated.items():
+        out[k] = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P()), v
+        )
+    return out
+
+
+def build_distributed_arrays(
+    record_codes: list[np.ndarray],
+    record_offsets: np.ndarray,
+    is_target,
+    kmerlen: int,
+    windowsize: int,
+    mesh: Mesh,
+    use_pallas: bool | None = None,
+    rec_base0: int = 0,
+):
+    """Distributed build from parsed records; returns (kmers, nodes, edges)
+    structured arrays, byte-identical to the single-chip path.
+
+    Multi-host: each process passes only ITS OWN records (a contiguous global
+    range starting at global record index ``rec_base0``) plus the GLOBAL
+    ``record_offsets``/``is_target``; the mesh spans all processes and the
+    bucket merge crosses DCN transparently.
+    """
+    import os
+
+    from ..graph.dtypes import EDGE_DTYPE, KMER_DTYPE, NODE_DTYPE
+
+    multiproc = jax.process_count() > 1
+    n_local = (
+        len([d for d in mesh.devices.flat if d.process_index == jax.process_index()])
+        if multiproc else mesh.devices.size
+    )
+    n_dev = mesh.devices.size
+    if use_pallas is None:
+        mode = os.environ.get('SEQWIN_TPU_PHASE1', 'auto')
+        use_pallas = (
+            jax.default_backend() in ('tpu', 'axon') if mode == 'auto'
+            else mode == 'pallas'
+        )
+    shard_of = partition_records([len(c) for c in record_codes], n_local)
+    codes, starts, patch_pos, patch_z, rec_base, n, offset = _shard_layout(
+        record_codes, shard_of, n_local, kmerlen, windowsize, use_pallas
+    )
+    rec_base += np.int32(rec_base0)
+    if multiproc:
+        # shared static geometry across processes: agree on the max
+        from jax.experimental import multihost_utils
+
+        agreed = multihost_utils.process_allgather(np.asarray(
+            [n, starts.shape[1], patch_pos.shape[1]], dtype=np.int64))
+        n_g, scap_g, pcap_g = (int(x) for x in np.asarray(agreed).max(axis=0))
+        if n_g != n:
+            raise ValueError(
+                'per-process stream shapes disagree; pad record shards to a '
+                f'common bucket first (local {n}, global {n_g})'
+            )
+        if scap_g != starts.shape[1]:
+            starts = np.pad(starts, ((0, 0), (0, scap_g - starts.shape[1])),
+                            constant_values=n)
+        if pcap_g != patch_pos.shape[1]:
+            pad = pcap_g - patch_pos.shape[1]
+            patch_pos = np.pad(patch_pos, ((0, 0), (0, pad)), constant_values=n)
+            patch_z = np.pad(patch_z, ((0, 0), (0, pad)), constant_values=-1)
+    asm_off = _asm_offset_buckets(record_offsets)
+    tmask_h = np.asarray(is_target, dtype=bool)
+    acap = max(8, next_pow2(len(tmask_h)))
+    tmask = np.zeros(acap, dtype=bool)
+    tmask[:len(tmask_h)] = tmask_h
+
+    emit_cap = min(max(1 << 12, next_pow2(int(2.5 * n / (windowsize + 1)) + 64)), n)
+    bucket_cap = max(1 << 10, next_pow2(2 * emit_cap // max(1, n_dev) + 64))
     while True:
-        (oh, pos, rec, raw_oh, raw_pos, raw_rec, n_real, counts, overflow) = _sharded_build_jit(
-            jnp.asarray(codes), jnp.asarray(is_start), jnp.asarray(rec_base),
+        spec = ShardSpec(
+            k=kmerlen, w=windowsize, n_bases=n, offset=offset,
+            emit_cap=emit_cap, bucket_cap=bucket_cap, use_pallas=use_pallas,
+        )
+        ins = _to_mesh_arrays(
+            mesh,
+            sharded=dict(
+                codes=codes, patch_pos=patch_pos, patch_z=patch_z,
+                starts=starts, rec_base=rec_base.reshape(-1, 1),
+            ),
+            replicated=dict(asm_off=asm_off, tmask=tmask),
+        )
+        out = _sharded_build_jit(
+            ins['codes'], ins['patch_pos'], ins['patch_z'],
+            ins['starts'], ins['rec_base'],
+            ins['asm_off'], ins['tmask'],
             spec, n_dev, mesh,
         )
-        if int(np.max(np.asarray(overflow))) <= 0:
-            break
-        emit_cap = next_pow2(int(np.max(np.asarray(counts))) + 1)
-        spec = ShardedBuildSpec(k=k, w=w, n_bases=n_bases, emit_cap=emit_cap, bucket_cap=emit_cap)
+        if multiproc:
+            from jax.experimental import multihost_utils
 
-    oh = np.asarray(oh)
-    pos = np.asarray(pos)
-    rec = np.asarray(rec)
-    n_real = np.asarray(n_real)
-    counts = np.asarray(counts)
-    raw_oh = np.asarray(raw_oh)
-    raw_pos = np.asarray(raw_pos)
-    raw_rec = np.asarray(raw_rec)
-    merged = (
-        np.concatenate([oh[d, :n_real[d]] for d in range(n_dev)]),
-        np.concatenate([pos[d, :n_real[d]] for d in range(n_dev)]),
-        np.concatenate([rec[d, :n_real[d]] for d in range(n_dev)]),
-    )
-    raw = (
-        np.concatenate([raw_oh[d, :counts[d]] for d in range(n_dev)]),
-        np.concatenate([raw_pos[d, :counts[d]] for d in range(n_dev)]),
-        np.concatenate([raw_rec[d, :counts[d]] for d in range(n_dev)]),
-    )
-    return merged, raw
+            out = tuple(
+                np.asarray(multihost_utils.process_allgather(o, tiled=True))
+                for o in out
+            )
+        (s_pos, s_rec, node_hash, n_start, n_stop, n_tar, n_neg,
+         e_first, e_second, e_weight, m, n_nodes, n_edges, counts, overflow) = out
+        overflow = np.asarray(overflow)
+        if int(overflow.max()) <= 0:
+            break
+        counts_h = np.asarray(counts)
+        if int(counts_h.max()) > emit_cap:
+            emit_cap = next_pow2(int(counts_h.max()) + 1)
+        bucket_cap = next_pow2(bucket_cap * 2)
+
+    m = np.asarray(m)
+    n_nodes = np.asarray(n_nodes)
+    n_edges = np.asarray(n_edges)
+    s_pos = np.asarray(s_pos)
+    s_rec = np.asarray(s_rec)
+
+    total_kmers = int(m.sum())
+    kmers = np.zeros(total_kmers, dtype=KMER_DTYPE)
+    nodes = np.zeros(int(n_nodes.sum()), dtype=NODE_DTYPE)
+    edges = np.zeros(int(n_edges.sum()), dtype=EDGE_DTYPE)
+    node_hash = np.asarray(node_hash)
+    n_start = np.asarray(n_start)
+    n_stop = np.asarray(n_stop)
+    n_tar_h = np.asarray(n_tar)
+    n_neg_h = np.asarray(n_neg)
+    e_first = np.asarray(e_first)
+    e_second = np.asarray(e_second)
+    e_weight = np.asarray(e_weight)
+
+    ko = no = eo = 0
+    for d in range(mesh.devices.size):
+        md, nd, ed = int(m[d]), int(n_nodes[d]), int(n_edges[d])
+        kmers['pos'][ko:ko + md] = s_pos[d, :md]
+        kmers['record_idx'][ko:ko + md] = s_rec[d, :md].astype(np.uint32)
+        nodes['hash'][no:no + nd] = node_hash[d, :nd]
+        nodes['start'][no:no + nd] = n_start[d, :nd].astype(np.int64) + ko
+        nodes['stop'][no:no + nd] = n_stop[d, :nd].astype(np.int64) + ko
+        nodes['n_tar'][no:no + nd] = n_tar_h[d, :nd]
+        nodes['n_neg'][no:no + nd] = n_neg_h[d, :nd]
+        edges['first'][eo:eo + ed] = e_first[d, :ed]
+        edges['second'][eo:eo + ed] = e_second[d, :ed]
+        edges['weight'][eo:eo + ed] = e_weight[d, :ed]
+        ko += md
+        no += nd
+        eo += ed
+    return kmers, nodes, edges
 
 
 def build_distributed(
@@ -245,10 +499,8 @@ def build_distributed(
     mesh: Mesh | None = None,
     n_cpu: int = 1,
 ):
-    """Full distributed graph build: sharded scan + collective node merge,
-    edges from the raw scan-ordered stream. Same output contract (and bytes)
-    as the single-chip `graph.build`."""
-    from ..engine.aggregate import aggregate
+    """Full distributed graph build. Same output contract (and bytes) as the
+    single-chip `graph.build`."""
     from ..graph.build import U32_MAX
     from ..io.fasta import parse_fasta_codes
 
@@ -269,9 +521,178 @@ def build_distributed(
         raise ValueError('Total number of FASTA records exceeds uint32 range')
     offsets = np.array(record_offsets, dtype=np.uintp)
 
-    _, (oh, pos, rec) = sharded_scan(all_codes, kmerlen, windowsize, mesh)
-    asm = (np.searchsorted(offsets, rec, side='right') - 1).astype(np.int32)
-    kmers, nodes, edges = aggregate(
-        oh, pos, rec, asm, np.asarray(targets, dtype=bool), record_offsets=offsets
+    kmers, nodes, edges = build_distributed_arrays(
+        all_codes, offsets, targets, kmerlen, windowsize, mesh
     )
     return kmers, nodes, edges, offsets, record_ids
+
+
+# ---------------------------------------------------------------------------
+# Cross-chip sequence sharding (one record spread over the mesh)
+# ---------------------------------------------------------------------------
+
+def _seq_shard_step(codes_aug, patch_pos, patch_z, block_off, spec: ShardSpec,
+                    n_dev: int):
+    """Per-device body: scan one halo'd block of a single record, then drop
+    halo re-emissions using the carry (last emitted position) of all earlier
+    blocks -- a single all_gather of two scalars per device."""
+    codes_aug = codes_aug.reshape(-1)
+    patch_pos = patch_pos.reshape(-1)
+    patch_z = patch_z.reshape(-1)
+    block_off = block_off.reshape(())
+
+    z_clean, canon = _shard_phase1(codes_aug, spec)
+    mult = jnp.uint64(out_hash_mult(spec.k))
+    starts = jnp.full((64,), spec.n_bases, dtype=jnp.int32).at[0].set(spec.offset)
+    asm_off = jnp.full((64,), jnp.int64(_I64_PAD)).at[0].set(np.iinfo(np.int64).min)
+    asm_off = asm_off.at[1].set(jnp.int64(1) << 30)
+    e_oh, e_pos, e_rec, count, _ = scan_phase2(
+        z_clean, canon, patch_pos, patch_z, starts, mult, i32(0), asm_off,
+        spec.emit_cap,
+    )
+    idx = jnp.arange(spec.emit_cap, dtype=i32)
+    live = idx < count
+    gpos = jnp.where(live, e_pos.astype(i64) + block_off, i64(-1))
+
+    # local carry: my last emitted (position, hash); -1 when I emitted nothing
+    last_i = jnp.maximum(count - 1, 0)
+    my_last_pos = jnp.where(count > 0, gpos[last_i], i64(-1))
+    my_last_oh = jnp.where(count > 0, e_oh[last_i], _U64(0))
+    allp = jax.lax.all_gather(my_last_pos, 'd')           # [D]
+    alloh = jax.lax.all_gather(my_last_oh, 'd')           # [D]
+    me = jax.lax.axis_index('d')
+    before = jnp.arange(n_dev, dtype=i32) < me
+    prevp = jnp.where(before, allp, i64(-1))
+    carry = jnp.max(prevp)                                 # -1 if none
+    carry_src = jnp.argmax(jnp.where(before, allp, i64(-2)))
+    carry_oh = alloh[carry_src]
+
+    keep = live & (gpos > carry)
+    n_keep = jnp.sum(keep.astype(i32))
+    n_drop = count - n_keep
+    oh2 = jnp.roll(e_oh, -n_drop)
+    pos2 = jnp.roll(gpos, -n_drop)
+    oh2 = jnp.where(idx < n_keep, oh2, _U64(0))
+    pos2 = jnp.where(idx < n_keep, pos2, i64(-1))
+    # junction pair: previous block's last kept hash -- mine starts where the
+    # carry ends, so the bridge is (carry_oh, my first kept hash)
+    has_bridge = (n_keep > 0) & (carry >= 0)
+    first_oh = oh2[0]
+    return (
+        oh2[None], pos2[None], n_keep[None],
+        has_bridge[None], carry_oh[None], first_oh[None],
+        (count - spec.emit_cap)[None],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=('spec', 'n_dev', 'mesh'))
+def _seq_sharded_jit(codes_aug, patch_pos, patch_z, block_off, spec, n_dev, mesh):
+    body = functools.partial(_seq_shard_step, spec=spec, n_dev=n_dev)
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P('d'), P('d'), P('d'), P('d')),
+        out_specs=tuple(P('d') for _ in range(7)),
+    )(codes_aug, patch_pos, patch_z, block_off)
+
+
+def scan_record_sharded(
+    codes: np.ndarray,
+    k: int,
+    w: int,
+    mesh: Mesh,
+    rec_idx: int = 0,
+    use_pallas: bool | None = None,
+):
+    """Scan ONE record split across the mesh with halo'd blocks.
+
+    Sequence parallelism for records larger than one chip's budget
+    (SURVEY.md §2.3 / §5): block boundaries re-scan w-1 preceding valid
+    k-mers; the cross-block emission state is one scalar per block, so the
+    whole dependency chain is ONE all_gather of (pos, hash) pairs.
+
+    Returns ((oh, pos, rec) trimmed scan-order arrays, bridge_pairs) --
+    identical to the single-chip scan of the whole record.
+    """
+    import os
+
+    from ..engine.hybrid import _record_block_plan
+
+    if use_pallas is None:
+        mode = os.environ.get('SEQWIN_TPU_PHASE1', 'auto')
+        use_pallas = (
+            jax.default_backend() in ('tpu', 'axon') if mode == 'auto'
+            else mode == 'pallas'
+        )
+    n_dev = mesh.devices.size
+    codes = np.asarray(codes)
+    budget = max(1 << 12, -(-len(codes) // n_dev))
+    plan = _record_block_plan(codes, k, w, budget)
+    while plan is not None and len(plan) > n_dev:
+        budget = int(budget * 1.3)
+        plan = _record_block_plan(codes, k, w, budget)
+    if plan is None:
+        plan = [(0, len(codes))]
+
+    max_len = max(b1 - b0 for b0, b1 in plan)
+    if use_pallas:
+        from ..engine.pallas_scan import phase1_shapes
+
+        _, n, offset = phase1_shapes(max(max_len, 1 << 14), k, w)
+    else:
+        n = max(1 << 14, next_pow2(max_len))
+        offset = 0
+
+    codes_aug = np.full((n_dev, n), 255, dtype=np.uint8)
+    block_off = np.full(n_dev, np.int64(-1) << 40, dtype=np.int64)
+    patch_list = []
+    for d, (b0, b1) in enumerate(plan):
+        blk = codes[b0:b1]
+        codes_aug[d, offset:offset + len(blk)] = blk
+        codes_aug[d, offset] |= 64
+        block_off[d] = b0  # phase-2 positions are block-local (eidx - offset)
+        irr_pos, members = _host_irregular(
+            codes_aug[d], np.array([offset], dtype=np.int64), k, w, n,
+            total=offset + len(blk),
+        )
+        patch_list.append((irr_pos, _host_patch_z(codes_aug[d], members, k)))
+    for d in range(len(plan), n_dev):
+        patch_list.append((np.zeros(0, np.int32), np.zeros(0, np.int32)))
+
+    pcap = max(256, next_pow2(max((len(p[0]) for p in patch_list), default=1) or 1))
+    patch_pos = np.full((n_dev, pcap), n, dtype=np.int32)
+    patch_z = np.full((n_dev, pcap), -1, dtype=np.int32)
+    for d, (pp, pz) in enumerate(patch_list):
+        patch_pos[d, :len(pp)] = pp
+        patch_z[d, :len(pp)] = pz
+
+    emit_cap = min(max(1 << 12, next_pow2(int(2.5 * n / (w + 1)) + 64)), n)
+    while True:
+        spec = ShardSpec(
+            k=k, w=w, n_bases=n, offset=offset, emit_cap=emit_cap,
+            bucket_cap=1, use_pallas=use_pallas,
+        )
+        oh, pos, n_keep, has_bridge, carry_oh, first_oh, overflow = _seq_sharded_jit(
+            jnp.asarray(codes_aug), jnp.asarray(patch_pos), jnp.asarray(patch_z),
+            jnp.asarray(block_off), spec, n_dev, mesh,
+        )
+        overflow = np.asarray(overflow)
+        if int(overflow.max()) <= 0:
+            break
+        emit_cap = next_pow2(emit_cap + int(overflow.max()))
+
+    oh = np.asarray(oh)
+    pos = np.asarray(pos)
+    n_keep = np.asarray(n_keep)
+    has_bridge = np.asarray(has_bridge)
+    carry_oh = np.asarray(carry_oh)
+    first_oh = np.asarray(first_oh)
+
+    out_oh = np.concatenate([oh[d, :n_keep[d]] for d in range(n_dev)])
+    out_pos = np.concatenate([pos[d, :n_keep[d]] for d in range(n_dev)]).astype(np.uint32)
+    out_rec = np.full(len(out_oh), rec_idx, dtype=np.int32)
+    bridges = [
+        (int(min(carry_oh[d], first_oh[d])), int(max(carry_oh[d], first_oh[d])), 0)
+        for d in range(n_dev) if has_bridge[d]
+    ]
+    return (out_oh, out_pos, out_rec), bridges

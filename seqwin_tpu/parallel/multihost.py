@@ -1,24 +1,35 @@
-"""Multi-host scale-out scaffolding.
+"""Multi-host scale-out: per-process parsing, global mesh, DCN bucket merge.
 
-The reference is single-node (`SURVEY.md` §2.3); this module defines the
-multi-host contract for the TPU build so the distributed single-slice engine
-(`parallel/distributed.py`) extends across hosts:
+The reference is single-node (`SURVEY.md` §2.3); this module extends the
+single-slice distributed build (`parallel/distributed.py`) across hosts:
 
-- every host calls `initialize()` (jax.distributed) and builds the global
-  mesh over all devices;
-- assemblies are partitioned contiguously by *global record index* across
-  processes (the analog of `graph.cpp:305-306`'s thread partition), each
-  process parses only its own files;
-- the hash-bucketed all_to_all merge already routes by hash range, so the
-  per-bucket owners are global device ids and the merge crosses DCN only for
-  buckets owned by other hosts.
+- every process calls `initialize()` (jax.distributed) and participates in
+  one global 1-D mesh over ALL devices;
+- assemblies are partitioned contiguously across processes by file size
+  (the analog of `graph.cpp:305-306`'s thread partition), and each process
+  parses ONLY its own files;
+- per-assembly record counts are exchanged once (process_allgather) so every
+  process knows the global record index space (`rec_base` bookkeeping);
+- the shard_map build program is unchanged: the hash-bucketed all_to_all
+  crosses DCN exactly for buckets owned by other hosts' devices, and each
+  bucket owner reduces its own nodes/edges/kmers;
+- merged per-device results are gathered back with process_allgather and
+  concatenated in device order (device order == hash order).
 
-Only single-process execution is exercised in this environment (one chip);
-the partition logic is unit-tested host-side.
+Single-process execution reduces exactly to `build_distributed`; the
+bookkeeping (partition, rec_base, layout invariance across process counts)
+is unit-tested on the virtual mesh since this environment has one process.
 """
 from __future__ import annotations
 
+import logging
+from pathlib import Path
+
+import numpy as np
+
 import jax
+
+logger = logging.getLogger(__name__)
 
 
 def initialize(coordinator_address: str | None = None,
@@ -34,21 +45,106 @@ def initialize(coordinator_address: str | None = None,
     )
 
 
-def partition_paths(paths: list, sizes: list[int], n_processes: int, process_id: int) -> list:
-    """Contiguous, load-balanced partition of assembly files across processes.
-
-    Mirrors the device-level record partition in
-    `parallel/distributed.py::sharded_scan`: contiguity keeps global scan
-    order reconstructible by concatenating process results in process order.
-    """
+def partition_indices(sizes: list[int], n_parts: int, part: int) -> list[int]:
+    """Contiguous, load-balanced index partition (same rule as the device
+    partition `distributed.partition_records`, so process and device splits
+    compose into one global contiguous record order)."""
     total = sum(sizes)
-    budget = total / n_processes if n_processes else 0
-    assignment = []
+    budget = total / n_parts if n_parts else 0
+    out = []
     acc = 0
-    pid = 0
-    for p, s in zip(paths, sizes):
-        if acc > budget * (pid + 1) and pid < n_processes - 1:
-            pid += 1
-        assignment.append(pid)
+    p = 0
+    for i, s in enumerate(sizes):
+        if acc > budget * (p + 1) and p < n_parts - 1:
+            p += 1
+        if p == part:
+            out.append(i)
         acc += s
-    return [p for p, a in zip(paths, assignment) if a == process_id]
+    return out
+
+
+def partition_paths(paths: list, sizes: list[int], n_processes: int, process_id: int) -> list:
+    """Contiguous, load-balanced partition of assembly files across processes."""
+    return [paths[i] for i in partition_indices(sizes, n_processes, process_id)]
+
+
+def exchange_record_counts(local_counts: np.ndarray, n_processes: int) -> np.ndarray:
+    """All-gather each process's per-assembly record counts -> the GLOBAL
+    per-assembly record count vector, concatenated in process order.
+
+    Contiguous process partitions mean concatenation restores the global
+    assembly order; `rec_base` for a process is the sum of all earlier
+    processes' record counts.
+    """
+    if n_processes <= 1:
+        return np.asarray(local_counts, dtype=np.int64)
+    from jax.experimental import multihost_utils
+
+    # ragged -> padded exchange: (n_assemblies, then counts)
+    cap = int(multihost_utils.process_allgather(
+        np.asarray([len(local_counts)], dtype=np.int64)).max())
+    padded = np.full(cap + 1, -1, dtype=np.int64)
+    padded[0] = len(local_counts)
+    padded[1:1 + len(local_counts)] = local_counts
+    gathered = multihost_utils.process_allgather(padded)  # [P, cap+1]
+    parts = [row[1:1 + int(row[0])] for row in np.asarray(gathered)]
+    return np.concatenate(parts) if parts else np.zeros(0, np.int64)
+
+
+def build_multihost(
+    assembly_paths,
+    kmerlen: int,
+    windowsize: int,
+    is_targets,
+):
+    """Multi-host distributed graph build: same output contract (and bytes)
+    as `graph.build`, with genomes data-parallel across processes AND chips.
+
+    Requires `initialize()` (or a single process, where this reduces to
+    `build_distributed` over all local devices).
+    """
+    from ..io.fasta import parse_fasta_codes
+    from .distributed import build_distributed_arrays, make_mesh
+
+    paths = [str(p) for p in assembly_paths]
+    targets = np.asarray([bool(t) for t in is_targets])
+    nproc = jax.process_count()
+    pid = jax.process_index()
+
+    sizes = [Path(p).stat().st_size for p in paths]
+    mine = partition_indices(sizes, nproc, pid)
+    logger.info(f'process {pid}/{nproc}: parsing {len(mine)}/{len(paths)} assemblies')
+
+    my_counts = np.zeros(len(mine), dtype=np.int64)
+    my_codes: list[np.ndarray] = []
+    my_ids: list[tuple[str, ...]] = []
+    for j, i in enumerate(mine):
+        ids, codes_list = parse_fasta_codes(paths[i])
+        my_counts[j] = len(ids)
+        my_ids.append(tuple(ids))
+        my_codes.extend(codes_list)
+
+    if nproc == 1:
+        record_offsets = np.concatenate(([0], np.cumsum(my_counts))).astype(np.uintp)
+        mesh = make_mesh()
+        kmers, nodes, edges = build_distributed_arrays(
+            my_codes, record_offsets, targets, kmerlen, windowsize, mesh
+        )
+        return kmers, nodes, edges, record_offsets, my_ids
+
+    # --- multi-process path (requires jax.distributed) ---
+    from jax.experimental import multihost_utils
+
+    all_counts = exchange_record_counts(my_counts, nproc)
+    record_offsets = np.concatenate(([0], np.cumsum(all_counts))).astype(np.uintp)
+    # global record index of this process's first record
+    first_asm = mine[0] if mine else len(all_counts)
+    rec_base0 = int(record_offsets[first_asm])
+
+    mesh = make_mesh(devices=jax.devices())  # ALL devices, process-spanning
+    kmers, nodes, edges = build_distributed_arrays(
+        my_codes, record_offsets, targets, kmerlen, windowsize, mesh,
+        rec_base0=rec_base0,
+    )
+    multihost_utils.sync_global_devices('seqwin-tpu multihost build')
+    return kmers, nodes, edges, record_offsets, my_ids

@@ -1,14 +1,21 @@
 """Multi-device build: output must be invariant to the device count
 (TPU analog of the reference's thread-count equivalence tests,
-`/root/reference/tests/smoke/test_graph.py:59-121`)."""
+`/root/reference/tests/smoke/test_graph.py:59-121`), with the merge running
+on the bucket owners."""
 import numpy as np
 import pytest
 
 import jax
 
+from seqwin_tpu.engine.aggregate import aggregate
 from seqwin_tpu.engine.minimizer import scan_records_host
 from seqwin_tpu.graph import build
-from seqwin_tpu.parallel.distributed import build_distributed, make_mesh, sharded_scan
+from seqwin_tpu.parallel.distributed import (
+    build_distributed,
+    build_distributed_arrays,
+    make_mesh,
+    scan_record_sharded,
+)
 
 
 def _random_records(rng, sizes, n_frac=0.01):
@@ -21,28 +28,30 @@ def _random_records(rng, sizes, n_frac=0.01):
     return out
 
 
+def _single_chip_reference(records, k, w, offsets, targets):
+    oh, pos, rec = scan_records_host(records, k, w)
+    asm = (np.searchsorted(offsets.astype(np.int64), rec, side='right') - 1).astype(np.int32)
+    return aggregate(oh, pos, rec, asm, np.asarray(targets), record_offsets=offsets)
+
+
 @pytest.mark.parametrize('n_dev', [1, 2, 8])
-def test_sharded_scan_matches_single_device(n_dev):
+def test_build_distributed_arrays_matches_single(n_dev):
     if len(jax.devices()) < n_dev:
         pytest.skip('not enough devices')
     rng = np.random.default_rng(42)
     records = _random_records(rng, [700, 1200, 150, 950, 2000, 64, 800, 500, 300])
+    offsets = np.array([0, 2, 5, 7, 9], dtype=np.uintp)  # 4 assemblies
+    targets = [True, True, False, False]
     k, w = 9, 12
 
-    ref_oh, ref_pos, ref_rec = scan_records_host(records, k, w)
+    ref_k, ref_n, ref_e = _single_chip_reference(records, k, w, offsets, targets)
     mesh = make_mesh(n_dev)
-    (m_oh, m_pos, m_rec), (r_oh, r_pos, r_rec) = sharded_scan(records, k, w, mesh)
-
-    # raw streams equal the single-device scan exactly (global scan order)
-    np.testing.assert_array_equal(r_oh, ref_oh)
-    np.testing.assert_array_equal(r_pos, ref_pos)
-    np.testing.assert_array_equal(r_rec, ref_rec)
-
-    # merged = stable hash sort of the stream
-    order = np.argsort(ref_oh, kind='stable')
-    np.testing.assert_array_equal(m_oh, ref_oh[order])
-    np.testing.assert_array_equal(m_pos, ref_pos[order])
-    np.testing.assert_array_equal(m_rec, ref_rec[order])
+    got_k, got_n, got_e = build_distributed_arrays(
+        records, offsets, targets, k, w, mesh
+    )
+    np.testing.assert_array_equal(got_k, ref_k)
+    np.testing.assert_array_equal(got_n, ref_n)
+    np.testing.assert_array_equal(got_e, ref_e)
 
 
 def test_build_distributed_matches_build(fixture_paths):
@@ -57,6 +66,46 @@ def test_build_distributed_matches_build(fixture_paths):
     assert ref[4] == got[4]
 
 
+@pytest.mark.parametrize('n_dev', [2, 8])
+def test_scan_record_sharded_matches_single(n_dev):
+    """One record split across the mesh with halo'd blocks: the emission
+    stream plus bridge-junction edges must reproduce the unsplit scan."""
+    if len(jax.devices()) < n_dev:
+        pytest.skip('not enough devices')
+    rng = np.random.default_rng(7)
+    n = 200_000
+    codes = rng.integers(0, 4, size=n).astype(np.uint8)
+    codes[rng.random(n) < 0.002] = 255
+    k, w = 15, 40
+
+    ref_oh, ref_pos, ref_rec = scan_records_host([codes], k, w)
+    mesh = make_mesh(n_dev)
+    (oh, pos, rec), bridges = scan_record_sharded(codes, k, w, mesh)
+
+    np.testing.assert_array_equal(oh, ref_oh)
+    np.testing.assert_array_equal(pos, ref_pos)
+    np.testing.assert_array_equal(rec, ref_rec)
+
+    # bridge pairs are exactly the adjacencies at block junctions: every
+    # consecutive emission pair must appear either inside one device's kept
+    # range or as a bridge
+    offsets = np.array([0, 1], dtype=np.uintp)
+    ref_graph = aggregate(
+        ref_oh, ref_pos, ref_rec, np.zeros(len(ref_oh), np.int32),
+        np.asarray([True]), record_offsets=offsets,
+    )
+    # reconstruct distributed adjacency: stream edges within kept ranges are
+    # contiguous in the returned stream; bridges cover the junctions, so the
+    # union is the single-chip edge set
+    got_graph = aggregate(
+        oh, pos, rec, np.zeros(len(oh), np.int32),
+        np.asarray([True]), record_offsets=offsets,
+    )
+    np.testing.assert_array_equal(got_graph[1], ref_graph[1])  # nodes
+    np.testing.assert_array_equal(got_graph[2], ref_graph[2])  # edges
+    assert all(u <= v for u, v, _ in bridges)
+
+
 def test_multihost_partition_contiguous_and_balanced():
     from seqwin_tpu.parallel.multihost import partition_paths
 
@@ -69,3 +118,52 @@ def test_multihost_partition_contiguous_and_balanced():
     for part in parts:
         idxs = [paths.index(p) for p in part]
         assert idxs == list(range(min(idxs), max(idxs) + 1)) if idxs else True
+
+
+def test_multihost_record_bookkeeping_invariance():
+    """Per-process record offsets / rec_base bookkeeping: for any process
+    count, the exchanged per-assembly counts concatenate to the global
+    vector and rec_base0 values tile the global record index space."""
+    from seqwin_tpu.parallel.multihost import (
+        exchange_record_counts,
+        partition_indices,
+    )
+
+    counts = np.array([3, 1, 4, 1, 5, 9, 2, 6], dtype=np.int64)
+    sizes = [c * 100 for c in counts]
+    global_offsets = np.concatenate(([0], np.cumsum(counts)))
+    for nproc in (1, 2, 3, 5):
+        parts = [partition_indices(sizes, nproc, p) for p in range(nproc)]
+        assert sorted(i for part in parts for i in part) == list(range(len(counts)))
+        rebuilt = np.concatenate([counts[part] for part in parts if part])
+        np.testing.assert_array_equal(rebuilt, counts)
+        # rec_base0 of each process == global offset of its first assembly
+        next_base = 0
+        for part in parts:
+            if not part:
+                continue
+            assert int(global_offsets[part[0]]) == next_base
+            next_base += int(counts[part].sum())
+        assert next_base == int(counts.sum())
+    # single-process exchange is the identity
+    np.testing.assert_array_equal(exchange_record_counts(counts, 1), counts)
+
+
+def test_build_distributed_arrays_rec_base0():
+    """rec_base0 globalizes record ids (the multi-host bookkeeping knob)."""
+    if len(jax.devices()) < 2:
+        pytest.skip('not enough devices')
+    rng = np.random.default_rng(3)
+    records = _random_records(rng, [500, 800, 400])
+    # pretend these are records 5..7 of a larger run: assembly spans 4..8
+    offsets = np.array([0, 5, 8], dtype=np.uintp)
+    targets = [True, False]
+    mesh = make_mesh(2)
+    kmers, nodes, edges = build_distributed_arrays(
+        records, offsets, targets, 9, 6, mesh, rec_base0=5
+    )
+    assert kmers['record_idx'].min() >= 5
+    assert kmers['record_idx'].max() <= 7
+    # records 5..7 belong to assembly 1, which is non-target
+    assert nodes['n_tar'].sum() == 0
+    assert nodes['n_neg'].sum() == len(nodes) > 0
