@@ -140,12 +140,26 @@ def scan_phase1(codes_aug, k: int, w: int):
     return z_clean, canon
 
 
+_EMIT_ROW = 1 << 13  # row width of the two-level emission extraction
+
+
 @functools.partial(jax.jit, static_argnames=('emit_cap',))
 def scan_phase2(z_clean, canon, patch_pos, patch_z, starts, mult, rec_base,
                 asm_offsets, emit_cap: int):
-    """Device call 2: z-patch, emission prefix-max, top_k extraction, and the
-    final (record, position, out-hash) mapping -- all device-resident so no
-    per-chunk host round-trip is needed.
+    """Device call 2: z-patch, emission prefix-max, two-level extraction, and
+    the final (record, position, out-hash) mapping -- all device-resident so
+    no per-chunk host round-trip is needed.
+
+    The emission rule (candidate z strictly above the running max of all
+    previous z, `/root/reference/cpp/vendor/btllib/minimizer.cpp:44-48`) is
+    evaluated row-blocked: per row of ``_EMIT_ROW`` positions, a row-local
+    cummax plus one exclusive cummax over row maxima reproduces the global
+    running max exactly, and extraction runs as a cheap batched per-row
+    ``top_k`` followed by a second-level ``top_k`` over the ~N/w candidate
+    slots -- never over the full stream. Rows with more than ``cap_row``
+    emissions force an emission-capacity retry (count > emit_cap), which
+    doubles both caps; cap_row == row width makes overflow impossible, so the
+    ladder terminates.
 
     Args:
         starts: int32[S] record start offsets padded with a value > any
@@ -159,12 +173,36 @@ def scan_phase2(z_clean, canon, patch_pos, patch_z, starts, mult, rec_base,
     """
     n = z_clean.shape[0]
     z = z_clean.at[patch_pos].set(patch_z, mode='drop')
-    cmax_excl = _shift_right(jax.lax.cummax(z), 1, i32(-2))
-    emit_win = (z >= 0) & (z > cmax_excl)
-    count = jnp.sum(emit_win.astype(i32))
-    zz = jnp.where(emit_win, z, i32(-1))
-    topv, _ = jax.lax.top_k(zz, emit_cap)
-    asc = topv[::-1]
+
+    B = _EMIT_ROW
+    pad = (-n) % B
+    if pad:
+        z_p = jnp.concatenate([z, jnp.full((pad,), i32(-1))])
+    else:
+        z_p = z
+    T = (n + pad) // B
+    zr = z_p.reshape(T, B)
+    cm = jax.lax.cummax(zr, axis=1)
+    cmx = jnp.concatenate([jnp.full((T, 1), i32(-2)), cm[:, :-1]], axis=1)
+    carry = jnp.concatenate(
+        [jnp.full((1,), i32(-2)), jax.lax.cummax(cm[:, -1])[:-1]])
+    emit = (zr >= 0) & (zr > cmx) & (zr > carry[:, None])
+    row_cnt = jnp.sum(emit.astype(i32), axis=1)
+    count = jnp.sum(row_cnt)
+
+    # per-row capacity scaled to the stream's expected emission density
+    # (emit_cap encodes ~2.5 n / (w + 1)); doubles along the retry ladder
+    cap_row = min(max(32, next_pow2(2 * emit_cap * B // max(n, 1) + 32)), B)
+    count = jnp.where(jnp.max(row_cnt) > cap_row,
+                      jnp.maximum(count, i32(emit_cap + 1)), count)
+    zz = jnp.where(emit, zr, i32(-1))
+    topv, _ = jax.lax.top_k(zz, cap_row)          # [T, cap_row] descending
+    flat = topv[:, ::-1].reshape(-1)              # globally ascending reals
+    if flat.shape[0] < emit_cap:
+        flat = jnp.concatenate(
+            [jnp.full((emit_cap - flat.shape[0],), i32(-1)), flat])
+    top2, _ = jax.lax.top_k(flat, emit_cap)
+    asc = top2[::-1]
     n_pad = emit_cap - jnp.minimum(count, i32(emit_cap))
     eidx = jnp.roll(asc, -n_pad)
     safe = jnp.clip(eidx, 0, n - 1)
