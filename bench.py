@@ -48,6 +48,11 @@ def synth_dataset(tmp: Path) -> tuple[list[Path], list[bool]]:
 
 
 def main() -> None:
+    if os.environ.get('BENCH_DEBUG'):
+        import logging
+
+        logging.basicConfig(level=logging.DEBUG, stream=sys.stderr)
+        logging.getLogger('jax').setLevel(logging.WARNING)
     import seqwin_tpu  # noqa: F401  (x64 on)
     from seqwin_tpu.graph import build
 

@@ -143,6 +143,27 @@ def _merge_edges(oh, rec, asm, edge_cap: int, xu, xv, xa, xn):
     return e_first, e_second, weight, n_edges
 
 
+@functools.partial(jax.jit, static_argnames=('m', 'n_nodes', 'n_edges'))
+def _pack_outputs(s_pos, s_rec, node_hash, n_starts, n_stops, n_tar, n_neg,
+                  e_first, e_second, e_weight, m: int, n_nodes: int,
+                  n_edges: int):
+    """Trim and bitcast every output column into one flat u32 buffer."""
+    u32 = jnp.uint32
+
+    def b32(x):
+        return jax.lax.bitcast_convert_type(x, u32)
+
+    def b64(x):  # u64 -> interleaved (lo, hi) u32 pairs (little-endian)
+        return jax.lax.bitcast_convert_type(x, u32).reshape(-1)
+
+    return jnp.concatenate([
+        b32(s_pos[:m]), b32(s_rec[:m]),
+        b64(node_hash[:n_nodes]), b32(n_starts[:n_nodes]),
+        b32(n_stops[:n_nodes]), b32(n_tar[:n_nodes]), b32(n_neg[:n_nodes]),
+        b64(e_first[:n_edges]), b64(e_second[:n_edges]), b32(e_weight[:n_edges]),
+    ])
+
+
 def aggregate_device(
     chunks,
     record_offsets: np.ndarray,
@@ -216,21 +237,39 @@ def aggregate_device(
             break
         edge_cap = min(1 << (n_edges - 1).bit_length(), pair_max)
 
+    # ONE device-to-host transfer: the relay pays ~8 ms latency per transfer
+    # and its bandwidth grows with transfer size (8 MB -> 76 MB/s, 32 MB ->
+    # 135 MB/s measured), so all trimmed output columns are bitcast to u32 and
+    # shipped as a single packed buffer, split host-side by offset.
+    buf = np.asarray(_pack_outputs(
+        s_pos, s_rec, node_hash, n_starts, n_stops, n_tar, n_neg,
+        e_first, e_second, e_weight, m, n_nodes, n_edges,
+    ))
+
+    off = 0
+
+    def take(cnt, dtype=np.uint32):
+        nonlocal off
+        words = cnt * (2 if dtype == np.uint64 else 1)
+        v = buf[off:off + words]
+        off += words
+        return v.view(dtype) if dtype != np.uint32 else v
+
     kmers = np.zeros(m, dtype=KMER_DTYPE)
-    kmers['pos'] = np.asarray(s_pos[:m])
-    kmers['record_idx'] = np.asarray(s_rec[:m]).astype(np.uint32)
+    kmers['pos'] = take(m)
+    kmers['record_idx'] = take(m)
 
     nodes = np.zeros(n_nodes, dtype=NODE_DTYPE)
-    nodes['hash'] = np.asarray(node_hash[:n_nodes])
-    nodes['start'] = np.asarray(n_starts[:n_nodes])
-    nodes['stop'] = np.asarray(n_stops[:n_nodes])
-    nodes['n_tar'] = np.asarray(n_tar[:n_nodes])
-    nodes['n_neg'] = np.asarray(n_neg[:n_nodes])
+    nodes['hash'] = take(n_nodes, np.uint64)
+    nodes['start'] = take(n_nodes)
+    nodes['stop'] = take(n_nodes)
+    nodes['n_tar'] = take(n_nodes)
+    nodes['n_neg'] = take(n_nodes)
 
     edges = np.zeros(n_edges, dtype=EDGE_DTYPE)
-    edges['first'] = np.asarray(e_first[:n_edges])
-    edges['second'] = np.asarray(e_second[:n_edges])
-    edges['weight'] = np.asarray(e_weight[:n_edges])
+    edges['first'] = take(n_edges, np.uint64)
+    edges['second'] = take(n_edges, np.uint64)
+    edges['weight'] = take(n_edges)
 
     return kmers, nodes, edges
 

@@ -98,7 +98,8 @@ def build(
     import os
 
     use_sort_engine = os.environ.get('SEQWIN_TPU_SCAN', 'hybrid') == 'sort'
-    chunk_budget = LOW_MEMORY_CHUNK_BASES if low_memory else DEFAULT_CHUNK_BASES
+    chunk_budget = LOW_MEMORY_CHUNK_BASES if low_memory else int(
+        os.environ.get('SEQWIN_TPU_CHUNK_BASES', DEFAULT_CHUNK_BASES))
     # one compiled shape per run: pad all chunks to the same bucket, bounded
     # by the dataset size (tiny datasets stay tiny)
     total_bases = sum(
@@ -174,15 +175,28 @@ def build(
 
     _t0 = _now()
     if not use_sort_engine:
+        import jax.numpy as jnp
+
         from ..engine.hybrid import scan_chunk_device
 
+        # one batched fetch of every deferred count (8 ms relay latency per
+        # transfer; a per-chunk int() would pay it len(chunks) times)
+        deferred = [
+            i for i, (inp, res) in enumerate(zip(chunk_inputs, chunk_results))
+            if inp is not None and res[0] is not None
+        ]
+        counts = (
+            np.asarray(jnp.stack([chunk_results[i][3] for i in deferred]))
+            if deferred else np.zeros(0, np.int32)
+        )
+        count_of = dict(zip(deferred, (int(c) for c in counts)))
         resolved = []
-        for inp, res in zip(chunk_inputs, chunk_results):
+        for i, (inp, res) in enumerate(zip(chunk_inputs, chunk_results)):
             if inp is None or res[0] is None:  # block chunks arrive finalized
                 resolved.append(res)
                 continue
             recs, base = inp
-            count = int(res[3])
+            count = count_of[i]
             if count <= res[0].shape[0]:
                 resolved.append((res[0], res[1], res[2], count, res[4]))
             else:  # capacity overflow: re-run this chunk with exact sizing
