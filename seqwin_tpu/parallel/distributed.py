@@ -386,22 +386,32 @@ def build_distributed_arrays(
             else mode == 'pallas'
         )
     shard_of = partition_records([len(c) for c in record_codes], n_local)
+    min_bases = 1 << 14
+    if multiproc:
+        # static geometry must agree across processes: exchange the largest
+        # per-device stream total first and lay every process out to it
+        # (`phase1_shapes` is deterministic in its input, so equal budgets
+        # give equal padded shapes)
+        from jax.experimental import multihost_utils
+
+        local_max = max(
+            (sum(len(c) for c, d in zip(record_codes, shard_of) if d == dev)
+             for dev in range(n_local)), default=1,
+        )
+        min_bases = max(min_bases, int(multihost_utils.process_allgather(
+            np.asarray([local_max], dtype=np.int64)).max()))
     codes, starts, patch_pos, patch_z, rec_base, n, offset = _shard_layout(
-        record_codes, shard_of, n_local, kmerlen, windowsize, use_pallas
+        record_codes, shard_of, n_local, kmerlen, windowsize, use_pallas,
+        min_bases=min_bases,
     )
     rec_base += np.int32(rec_base0)
     if multiproc:
-        # shared static geometry across processes: agree on the max
+        # ragged per-process caps (record/patch counts) pad to the global max
         from jax.experimental import multihost_utils
 
         agreed = multihost_utils.process_allgather(np.asarray(
-            [n, starts.shape[1], patch_pos.shape[1]], dtype=np.int64))
-        n_g, scap_g, pcap_g = (int(x) for x in np.asarray(agreed).max(axis=0))
-        if n_g != n:
-            raise ValueError(
-                'per-process stream shapes disagree; pad record shards to a '
-                f'common bucket first (local {n}, global {n_g})'
-            )
+            [starts.shape[1], patch_pos.shape[1]], dtype=np.int64))
+        scap_g, pcap_g = (int(x) for x in np.asarray(agreed).max(axis=0))
         if scap_g != starts.shape[1]:
             starts = np.pad(starts, ((0, 0), (0, scap_g - starts.shape[1])),
                             constant_values=n)

@@ -1,0 +1,55 @@
+"""Worker for the 2-process multihost e2e test (spawned by test_distributed).
+
+Each process owns a contiguous share of the fixture assemblies, parses only
+those, and participates in one global 4-device CPU mesh (2 devices per
+process); the hash-bucketed all_to_all crosses the process boundary over
+gloo exactly like it would cross DCN on a real pod.
+
+Usage: python tests/_mp_worker.py <process_id> <port> <out.npz> <paths.txt>
+paths.txt lines: "<fasta path>\t<0|1 is_target>"
+"""
+import os
+import sys
+
+
+def main() -> None:
+    pid, port, out_path, paths_txt = sys.argv[1:5]
+    os.environ['JAX_PLATFORMS'] = 'cpu'
+    flags = os.environ.get('XLA_FLAGS', '')
+    if 'xla_force_host_platform_device_count' not in flags:
+        os.environ['XLA_FLAGS'] = (
+            flags + ' --xla_force_host_platform_device_count=2'
+        ).strip()
+
+    import jax
+
+    jax.config.update('jax_platforms', 'cpu')
+    jax.distributed.initialize(
+        coordinator_address=f'127.0.0.1:{port}',
+        num_processes=2,
+        process_id=int(pid),
+    )
+
+    import numpy as np
+
+    import seqwin_tpu  # noqa: F401  (x64 on)
+    from seqwin_tpu.parallel.multihost import build_multihost
+
+    paths, targets = [], []
+    with open(paths_txt) as f:
+        for line in f:
+            p, t = line.rstrip('\n').split('\t')
+            paths.append(p)
+            targets.append(bool(int(t)))
+
+    kmers, nodes, edges, offsets, _ = build_multihost(paths, 17, 10, targets)
+    if int(pid) == 0:
+        np.savez(
+            out_path, kmers=kmers, nodes=nodes, edges=edges,
+            record_offsets=np.asarray(offsets, dtype=np.int64),
+        )
+    print(f'worker {pid}: done', flush=True)
+
+
+if __name__ == '__main__':
+    main()

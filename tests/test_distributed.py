@@ -2,6 +2,9 @@
 (TPU analog of the reference's thread-count equivalence tests,
 `/root/reference/tests/smoke/test_graph.py:59-121`), with the merge running
 on the bucket owners."""
+import os
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -147,6 +150,50 @@ def test_multihost_record_bookkeeping_invariance():
         assert next_base == int(counts.sum())
     # single-process exchange is the identity
     np.testing.assert_array_equal(exchange_record_counts(counts, 1), counts)
+
+
+def test_multihost_two_process_e2e(tmp_path, fixture_paths):
+    """REAL 2-process multihost build: two OS processes, each parsing only
+    its own assemblies, one global 4-device CPU mesh, bucket merge crossing
+    the process boundary over gloo. Output must be byte-identical to the
+    single-process `graph.build` (the process-level analog of the
+    reference's thread-count-equivalence contract,
+    `/root/reference/tests/smoke/test_graph.py:59-121`)."""
+    import socket
+    import subprocess
+    import sys
+
+    targets = [True, True, False, False]
+    paths_txt = tmp_path / 'paths.txt'
+    paths_txt.write_text(''.join(
+        f'{p}\t{int(t)}\n' for p, t in zip(fixture_paths, targets)
+    ))
+    out_npz = tmp_path / 'mp_result.npz'
+    with socket.socket() as s:
+        s.bind(('127.0.0.1', 0))
+        port = s.getsockname()[1]
+
+    worker = Path(__file__).parent / '_mp_worker.py'
+    env = {**os.environ, 'PYTHONPATH': str(Path(__file__).parent.parent)}
+    env.pop('XLA_FLAGS', None)  # workers set their own 2-device count
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), str(port),
+             str(out_npz), str(paths_txt)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f'worker failed:\n{o}'
+
+    got = np.load(out_npz, allow_pickle=False)
+    ref_k, ref_n, ref_e, ref_off, _ = build(fixture_paths, 17, 10, targets)
+    np.testing.assert_array_equal(got['kmers'], ref_k)
+    np.testing.assert_array_equal(got['nodes'], ref_n)
+    np.testing.assert_array_equal(got['edges'], ref_e)
+    np.testing.assert_array_equal(got['record_offsets'], ref_off.astype(np.int64))
 
 
 def test_build_distributed_arrays_rec_base0():
