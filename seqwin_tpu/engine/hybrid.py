@@ -68,7 +68,10 @@ def scan_phase1(codes_aug, k: int, w: int):
             record-start flag; padding bytes are 255.
 
     Returns:
-        (z_clean i32[N], canon u64[N])
+        (z_clean i32[N], c_lo u32[N], c_hi u32[N]) -- the canonical hash as
+        split u32 halves, matching the Pallas kernel's output layout (joining
+        to u64 would materialize an 8 B/pos array only to be gathered at
+        ~1/100 density in phase 2; measured 63 ms per 32 Mbp chunk on TPU).
     """
     n = codes_aug.shape[0]
     iota = jnp.arange(n, dtype=i32)
@@ -137,15 +140,17 @@ def scan_phase1(codes_aug, k: int, w: int):
     win_mh, win_idx = _combine_rmin(t_mh, t_idx, p_mh, p_idx)
 
     z_clean = jnp.where(clean & (win_mh != _u64(M64)), win_idx, i32(-1))
-    return z_clean, canon
+    c_lo = (canon & _u64(0xFFFFFFFF)).astype(jnp.uint32)
+    c_hi = (canon >> _u64(32)).astype(jnp.uint32)
+    return z_clean, c_lo, c_hi
 
 
 _EMIT_ROW = 1 << 13  # row width of the two-level emission extraction
 
 
 @functools.partial(jax.jit, static_argnames=('emit_cap',))
-def scan_phase2(z_clean, canon, patch_pos, patch_z, starts, mult, rec_base,
-                asm_offsets, emit_cap: int):
+def scan_phase2(z_clean, c_lo, c_hi, patch_pos, patch_z, starts, mult, rec_base,
+                asm_tab, emit_cap: int):
     """Device call 2: z-patch, emission prefix-max, two-level extraction, and
     the final (record, position, out-hash) mapping -- all device-resident so
     no per-chunk host round-trip is needed.
@@ -162,10 +167,16 @@ def scan_phase2(z_clean, canon, patch_pos, patch_z, starts, mult, rec_base,
     ladder terminates.
 
     Args:
+        c_lo, c_hi: uint32 split halves of the canonical hash (the Pallas
+            kernel's native layout; may be shorter than z_clean -- trailing
+            halo rows are never emitted). Joined to u64 only AFTER the
+            emit-cap-sized gather.
         starts: int32[S] record start offsets padded with a value > any
             position (used for the flat-position -> record searchsorted).
         mult: uint64 scalar, the derived-hash multiplier for this k.
         rec_base: int32 scalar, global record index of this chunk's record 0.
+        asm_tab: int32[S] local record index -> assembly index (host-built;
+            padding entries may hold anything -- dead lanes are masked).
 
     Returns:
         (e_oh u64[emit_cap], e_pos u32[emit_cap], e_rec i32[emit_cap] (-1 pad),
@@ -205,19 +216,19 @@ def scan_phase2(z_clean, canon, patch_pos, patch_z, starts, mult, rec_base,
     asc = top2[::-1]
     n_pad = emit_cap - jnp.minimum(count, i32(emit_cap))
     eidx = jnp.roll(asc, -n_pad)
-    safe = jnp.clip(eidx, 0, n - 1)
+    safe = jnp.clip(eidx, 0, c_lo.shape[0] - 1)
     live = eidx >= 0
-    e_canon = canon[safe]
+    e_canon = c_lo[safe].astype(_U64) | (c_hi[safe].astype(_U64) << _u64(32))
     t = e_canon * mult
     e_oh = jnp.where(live, t ^ (t >> _u64(MULTISHIFT)), _u64(0))
     rec_local = jnp.searchsorted(starts, eidx, side='right').astype(i32) - 1
     rec_local = jnp.clip(rec_local, 0, starts.shape[0] - 1)
     e_pos = jnp.where(live, eidx - starts[rec_local], i32(0)).astype(jnp.uint32)
     e_rec = jnp.where(live, rec_local + rec_base, i32(-1))
-    # assembly index for the aggregation stage (emit-cap-sized lookup here is
-    # far cheaper than a stream-wide searchsorted later)
-    e_asm = (jnp.searchsorted(asm_offsets, e_rec.astype(jnp.int64), side='right') - 1).astype(i32)
-    e_asm = jnp.where(live, e_asm, i32(0))
+    # assembly index for the aggregation stage: a host-built local-record ->
+    # assembly table makes this one tiny gather (a second searchsorted here
+    # measured ~60 ms per 32 Mbp chunk on TPU)
+    e_asm = jnp.where(live, asm_tab[rec_local], i32(0))
     return e_oh, e_pos, e_rec, count, e_asm
 
 
@@ -417,6 +428,24 @@ def _host_patch_z_packed(packed: np.ndarray, members: np.ndarray, k: int):
     return _patch_from_mh(mh, members)
 
 
+def _asm_table(record_offsets, rec_base: int, n_records: int, cap: int) -> np.ndarray:
+    """int32[cap] table: local record index -> assembly index.
+
+    Built from the global cumulative record counts (`record_offsets`) for the
+    records [rec_base, rec_base + n_records); padding rows hold the last
+    assembly (harmless -- consumers mask dead lanes).
+    """
+    tab = np.zeros(cap, dtype=np.int32)
+    if record_offsets is not None and n_records:
+        off_h = np.asarray(record_offsets, dtype=np.int64)
+        recs = rec_base + np.arange(n_records, dtype=np.int64)
+        tab[:n_records] = np.clip(
+            np.searchsorted(off_h, recs, side='right') - 1, 0, len(off_h) - 2
+        ).astype(np.int32)
+        tab[n_records:] = tab[max(n_records - 1, 0)]
+    return tab
+
+
 def scan_chunk_device(
     record_codes: list[np.ndarray],
     k: int,
@@ -510,14 +539,13 @@ def scan_chunk_device(
         z_clean, c_lo, c_hi = pallas_phase1(
             codes_aug.reshape(rtotal, _LANES), k, w, interpret=interpret
         )
-        canon = c_lo.astype(_U64) | (c_hi.astype(_U64) << _u64(32))
-        # pallas output omits trailing halo rows; pad z/canon back to n
+        # pallas output omits trailing halo rows; pad z back to n (phase 2
+        # gathers c_lo/c_hi sparsely -- emissions never land in the tail)
         tail = n - z_clean.shape[0]
         if tail:
             z_clean = jnp.concatenate([z_clean, jnp.full((tail,), i32(-1))])
-            canon = jnp.concatenate([canon, jnp.zeros((tail,), dtype=_U64)])
     else:
-        z_clean, canon = scan_phase1(codes_aug, k, w)
+        z_clean, c_lo, c_hi = scan_phase1(codes_aug, k, w)
 
     pcap = max(256, next_pow2(len(irr_pos) or 1))
     patch_pos_a = np.full(pcap, n, dtype=np.int32)
@@ -526,29 +554,21 @@ def scan_chunk_device(
     patch_z_a[:len(irr_pos)] = patch_z
 
     mult = jnp.uint64(out_hash_mult(k))
-    # global-record -> assembly offsets, bucketed (shared shape across chunks)
-    if record_offsets is not None:
-        off_h = np.asarray(record_offsets, dtype=np.int64)
-    else:
-        off_h = np.array([0, 1 << 30], dtype=np.int64)  # single pseudo-assembly
-    ocap = max(64, next_pow2(len(off_h)))
-    off_a = np.full(ocap, np.int64(1) << 40, dtype=np.int64)
-    off_a[:len(off_h)] = off_h
-    off_a[0] = np.iinfo(np.int64).min  # 'right' search counts offsets <= rec
-    off_j = jnp.asarray(off_a)
+    # local record -> assembly table, aligned with `starts` (shared shape)
+    off_j = jnp.asarray(_asm_table(record_offsets, rec_base, len(starts), scap))
 
     # size the emission capacity from the padded buffer so all chunks of a
     # run share one phase-2 shape
     emit_cap = min(max(1 << 12, next_pow2(int(2.5 * n / (w + 1)) + 64)), n)
     if defer_sync:
         e_oh, e_pos, e_rec, count, e_asm = scan_phase2(
-            z_clean, canon, jnp.asarray(patch_pos_a), jnp.asarray(patch_z_a),
+            z_clean, c_lo, c_hi, jnp.asarray(patch_pos_a), jnp.asarray(patch_z_a),
             starts_j, mult, jnp.int32(rec_base), off_j, emit_cap,
         )
         return e_oh, e_pos, e_rec, count, e_asm  # count is a device scalar
     while True:
         e_oh, e_pos, e_rec, count, e_asm = scan_phase2(
-            z_clean, canon, jnp.asarray(patch_pos_a), jnp.asarray(patch_z_a),
+            z_clean, c_lo, c_hi, jnp.asarray(patch_pos_a), jnp.asarray(patch_z_a),
             starts_j, mult, jnp.int32(rec_base), off_j, emit_cap,
         )
         count = int(count)

@@ -52,7 +52,6 @@ from ..ops.hashing import out_hash_mult
 _U64 = jnp.uint64
 i32 = jnp.int32
 i64 = jnp.int64
-_I64_PAD = np.int64(1) << 40
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -161,18 +160,16 @@ def _shard_phase1(codes_aug, spec: ShardSpec):
         z_clean, c_lo, c_hi = pallas_phase1(
             codes_aug.reshape(-1, _LANES), spec.k, spec.w, interpret=interpret
         )
-        canon = c_lo.astype(_U64) | (c_hi.astype(_U64) << _U64(32))
         tail = spec.n_bases - z_clean.shape[0]
         if tail:
             z_clean = jnp.concatenate([z_clean, jnp.full((tail,), i32(-1))])
-            canon = jnp.concatenate([canon, jnp.zeros((tail,), dtype=_U64)])
-        return z_clean, canon
+        return z_clean, c_lo, c_hi
     return scan_phase1(codes_aug, spec.k, spec.w)
 
 
 def _shard_step(
     codes_aug, patch_pos, patch_z, starts, rec_base,
-    asm_offsets, is_target,
+    asm_tab, is_target,
     spec: ShardSpec, n_dev: int,
 ):
     """Per-device body: hybrid scan + routed per-bucket node/edge merge."""
@@ -181,14 +178,14 @@ def _shard_step(
     patch_z = patch_z.reshape(-1)
     starts = starts.reshape(-1)
     rec_base = rec_base.reshape(())
-    asm_offsets = asm_offsets.reshape(-1)
+    asm_tab = asm_tab.reshape(-1)
     is_target = is_target.reshape(-1)
 
-    z_clean, canon = _shard_phase1(codes_aug, spec)
+    z_clean, c_lo, c_hi = _shard_phase1(codes_aug, spec)
     mult = jnp.uint64(out_hash_mult(spec.k))
     e_oh, e_pos, e_rec, count, e_asm = scan_phase2(
-        z_clean, canon, patch_pos, patch_z, starts, mult,
-        rec_base.astype(i32), asm_offsets, spec.emit_cap,
+        z_clean, c_lo, c_hi, patch_pos, patch_z, starts, mult,
+        rec_base.astype(i32), asm_tab, spec.emit_cap,
     )
     live = e_rec >= 0
 
@@ -241,16 +238,16 @@ def _shard_step(
 
 @functools.partial(jax.jit, static_argnames=('spec', 'n_dev', 'mesh'))
 def _sharded_build_jit(
-    codes_aug, patch_pos, patch_z, starts, rec_base, asm_offsets, is_target,
+    codes_aug, patch_pos, patch_z, starts, rec_base, asm_tab, is_target,
     spec, n_dev, mesh,
 ):
     body = functools.partial(_shard_step, spec=spec, n_dev=n_dev)
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P('d'), P('d'), P('d'), P('d'), P('d'), P(), P()),
+        in_specs=(P('d'), P('d'), P('d'), P('d'), P('d'), P('d'), P()),
         out_specs=tuple(P('d') for _ in range(15)),
-    )(codes_aug, patch_pos, patch_z, starts, rec_base, asm_offsets, is_target)
+    )(codes_aug, patch_pos, patch_z, starts, rec_base, asm_tab, is_target)
 
 
 def partition_records(record_lengths, n_dev: int):
@@ -317,17 +314,6 @@ def _shard_layout(record_codes, shard_of, n_dev: int, k: int, w: int,
         patch_pos[d, :len(pp)] = pp
         patch_z[d, :len(pp)] = pz
     return codes, starts, patch_pos, patch_z, rec_base, n, offset
-
-
-def _asm_offset_buckets(record_offsets) -> np.ndarray:
-    """Bucketed global-record -> assembly offsets (`hybrid.scan_chunk_device`
-    encoding: leading sentinel makes searchsorted-right count offsets <= rec)."""
-    off_h = np.asarray(record_offsets, dtype=np.int64)
-    ocap = max(64, next_pow2(len(off_h)))
-    out = np.full(ocap, _I64_PAD, dtype=np.int64)
-    out[:len(off_h)] = off_h
-    out[0] = np.iinfo(np.int64).min
-    return out
 
 
 def _to_mesh_arrays(mesh: Mesh, sharded: dict, replicated: dict):
@@ -419,7 +405,14 @@ def build_distributed_arrays(
             pad = pcap_g - patch_pos.shape[1]
             patch_pos = np.pad(patch_pos, ((0, 0), (0, pad)), constant_values=n)
             patch_z = np.pad(patch_z, ((0, 0), (0, pad)), constant_values=-1)
-    asm_off = _asm_offset_buckets(record_offsets)
+    from ..engine.hybrid import _asm_table
+
+    scap = starts.shape[1]
+    asm_tab = np.zeros((n_local, scap), dtype=np.int32)
+    for d in range(n_local):
+        asm_tab[d] = _asm_table(
+            record_offsets, int(rec_base[d]), int(np.sum(shard_of == d)), scap
+        )
     tmask_h = np.asarray(is_target, dtype=bool)
     acap = max(8, next_pow2(len(tmask_h)))
     tmask = np.zeros(acap, dtype=bool)
@@ -437,13 +430,14 @@ def build_distributed_arrays(
             sharded=dict(
                 codes=codes, patch_pos=patch_pos, patch_z=patch_z,
                 starts=starts, rec_base=rec_base.reshape(-1, 1),
+                asm_tab=asm_tab,
             ),
-            replicated=dict(asm_off=asm_off, tmask=tmask),
+            replicated=dict(tmask=tmask),
         )
         out = _sharded_build_jit(
             ins['codes'], ins['patch_pos'], ins['patch_z'],
             ins['starts'], ins['rec_base'],
-            ins['asm_off'], ins['tmask'],
+            ins['asm_tab'], ins['tmask'],
             spec, n_dev, mesh,
         )
         if multiproc:
@@ -551,13 +545,12 @@ def _seq_shard_step(codes_aug, patch_pos, patch_z, block_off, spec: ShardSpec,
     patch_z = patch_z.reshape(-1)
     block_off = block_off.reshape(())
 
-    z_clean, canon = _shard_phase1(codes_aug, spec)
+    z_clean, c_lo, c_hi = _shard_phase1(codes_aug, spec)
     mult = jnp.uint64(out_hash_mult(spec.k))
     starts = jnp.full((64,), spec.n_bases, dtype=jnp.int32).at[0].set(spec.offset)
-    asm_off = jnp.full((64,), jnp.int64(_I64_PAD)).at[0].set(np.iinfo(np.int64).min)
-    asm_off = asm_off.at[1].set(jnp.int64(1) << 30)
+    asm_tab = jnp.zeros((64,), dtype=i32)  # single pseudo-assembly
     e_oh, e_pos, e_rec, count, _ = scan_phase2(
-        z_clean, canon, patch_pos, patch_z, starts, mult, i32(0), asm_off,
+        z_clean, c_lo, c_hi, patch_pos, patch_z, starts, mult, i32(0), asm_tab,
         spec.emit_cap,
     )
     idx = jnp.arange(spec.emit_cap, dtype=i32)

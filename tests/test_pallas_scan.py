@@ -24,8 +24,10 @@ def _layout(records, k, w):
 
 
 def _xla_ref(aug_codes_flat, k, w):
-    z, canon = hybrid.scan_phase1(jnp.asarray(aug_codes_flat), k, w)
-    return np.asarray(z), np.asarray(canon)
+    z, c_lo, c_hi = hybrid.scan_phase1(jnp.asarray(aug_codes_flat), k, w)
+    canon = np.asarray(c_lo).astype(np.uint64) | (
+        np.asarray(c_hi).astype(np.uint64) << np.uint64(32))
+    return np.asarray(z), canon
 
 
 @pytest.mark.parametrize('k,w', [(7, 10), (21, 200), (4, 3), (1, 4), (31, 16), (5, 128), (9, 1), (13, 256)])
