@@ -107,6 +107,25 @@ def build(
     )
     shape_bucket = min(chunk_budget, 1 << max(16, (max(1, total_bases) - 1).bit_length()))
 
+    # fused one-program path: all chunk scans + the merge in a single device
+    # program (engine/fused.py) -- immune to per-program relay overhead.
+    # Falls through to the per-chunk pipeline for oversized records (halo'd
+    # block splitting), emission overflows, or when disabled.
+    if not use_sort_engine and os.environ.get('SEQWIN_TPU_FUSED', '1') != '0':
+        chunk_lists, oversized = _group_chunks(parsed, chunk_budget)
+        if chunk_lists and not oversized:
+            from ..engine.fused import build_fused
+
+            _t0 = _now()
+            res = build_fused(
+                chunk_lists, kmerlen, windowsize, offsets, targets,
+                min_chunk=shape_bucket, n_cpu=n_cpu,
+            )
+            if res is not None:
+                logger.debug(f'build: fused total {_now() - _t0:.2f}s')
+                return (*res, offsets, record_ids)
+            logger.debug('build: fused fell back to per-chunk path')
+
     chunk_results = []  # (e_oh, e_pos, e_rec, count) device arrays
     chunk_inputs = []   # (record list, rec_base) for overflow re-runs
     chunk_codes: list[np.ndarray] = []
@@ -217,6 +236,30 @@ def build(
     )
     logger.debug(f'build: aggregate {_now() - _t0:.2f}s')
     return kmers, nodes, edges, offsets, record_ids
+
+
+def _group_chunks(parsed, chunk_budget: int):
+    """Group records into budgeted chunks (same packing rule as the
+    per-chunk dispatch loop below). Returns ([(codes_list, rec_base), ...],
+    any_record_oversized)."""
+    lists: list[tuple[list[np.ndarray], int]] = []
+    cur: list[np.ndarray] = []
+    rec_base = 0
+    bases = 0
+    oversized = False
+    for _, codes_list in parsed:
+        for codes in codes_list:
+            if len(codes) > chunk_budget:
+                oversized = True
+            if bases + len(codes) > chunk_budget and cur:
+                lists.append((cur, rec_base))
+                rec_base += len(cur)
+                cur, bases = [], 0
+            cur.append(codes)
+            bases += len(codes)
+    if cur:
+        lists.append((cur, rec_base))
+    return lists, oversized
 
 
 def _build_numpy(paths, kmerlen, windowsize, targets, n_cpu):

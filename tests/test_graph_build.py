@@ -123,3 +123,51 @@ def test_multi_chunk_matches_golden(ref_fixtures, fixture_paths, monkeypatch):
     np.testing.assert_array_equal(edges, golden['edges'])
     for f in ('hash', 'start', 'stop', 'n_tar', 'n_neg'):
         np.testing.assert_array_equal(nodes[f], golden['nodes'][f])
+
+
+def test_fused_matches_classic_and_fallback(tmp_path, monkeypatch):
+    """The fused one-program build (`engine/fused.py`) must be byte-identical
+    to the per-chunk pipeline on a multi-chunk, N-laden input -- and must
+    fall back (not crash, not diverge) when a record exceeds the chunk
+    budget (halo'd block splitting only exists in the per-chunk path)."""
+    import importlib
+
+    build_mod = importlib.import_module('seqwin_tpu.graph.build')
+    monkeypatch.setattr(build_mod, 'DEFAULT_CHUNK_BASES', 1 << 15)
+
+    rng = np.random.default_rng(11)
+    alpha = np.frombuffer(b'ACGTN', dtype=np.uint8)
+    paths, targets = [], []
+    for i in range(4):
+        n = int(rng.integers(20_000, 60_000))
+        g = rng.integers(0, 4, size=n).astype(np.uint8)
+        g[rng.random(n) < 0.02] = 4
+        p = tmp_path / f'g{i}.fasta'
+        cut = n // 3
+        p.write_text(
+            f'>r{i}a\n' + alpha[g[:cut]].tobytes().decode() + '\n'
+            f'>r{i}b\n' + alpha[g[cut:]].tobytes().decode() + '\n'
+        )
+        paths.append(p)
+        targets.append(i < 2)
+
+    monkeypatch.setenv('SEQWIN_TPU_FUSED', '1')
+    fused = build(paths, 13, 30, targets)
+    monkeypatch.setenv('SEQWIN_TPU_FUSED', '0')
+    classic = build(paths, 13, 30, targets)
+    for a, b in zip(fused[:4], classic[:4]):
+        np.testing.assert_array_equal(a, b)
+
+    # oversized record: fused path must defer to the block-split pipeline
+    big = tmp_path / 'big.fasta'
+    n = (1 << 15) + 5000
+    big.write_text('>big\n' + alpha[
+        rng.integers(0, 4, size=n).astype(np.uint8)].tobytes().decode() + '\n')
+    paths2 = [*paths, big]
+    targets2 = [*targets, True]
+    monkeypatch.setenv('SEQWIN_TPU_FUSED', '1')
+    f2 = build(paths2, 13, 30, targets2)
+    monkeypatch.setenv('SEQWIN_TPU_FUSED', '0')
+    c2 = build(paths2, 13, 30, targets2)
+    for a, b in zip(f2[:4], c2[:4]):
+        np.testing.assert_array_equal(a, b)
