@@ -294,11 +294,11 @@ def filter_kmers(
 
     total = int(new_stops[-1]) if len(kept_nodes) else 0
     new_kmers = np.zeros(total, dtype=KMER_DTYPE)
-    # gather segments: build index ranges
     if total:
-        seg_idx = np.concatenate([
-            np.arange(int(s), int(e)) for s, e in zip(kept_nodes['start'], kept_nodes['stop'])
-        ])
+        # vectorized segment gather: within-segment offset + old segment start
+        old_starts = kept_nodes['start'].astype(np.int64)
+        seg_idx = (np.arange(total, dtype=np.int64)
+                   + np.repeat(old_starts - new_starts, sizes))
         new_kmers = kmers[seg_idx]
 
     out_nodes = kept_nodes.copy()
