@@ -65,9 +65,14 @@ def main() -> None:
         kmers, *_ = build(paths, K, W, targets, n_cpu=8)
         warm = time.time() - t0
 
-        t0 = time.time()
-        kmers, nodes, edges, *_ = build(paths, K, W, targets, n_cpu=8)
-        dt = time.time() - t0
+        # median of 3: the relay's transfer bandwidth varies several-fold
+        # run to run (PERF.md), so a single sample is mostly relay noise
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            kmers, nodes, edges, *_ = build(paths, K, W, targets, n_cpu=8)
+            times.append(time.time() - t0)
+        dt = sorted(times)[1]
 
     n_min = len(kmers)
     rate = n_min / dt
@@ -80,7 +85,8 @@ def main() -> None:
     print(json.dumps(result))
     print(
         f'# {n_min} minimizers, {len(nodes)} nodes, {len(edges)} edges; '
-        f'build {dt:.2f}s (warmup {warm:.2f}s); '
+        f'build median {dt:.2f}s of {[round(t, 2) for t in times]} '
+        f'(warmup {warm:.2f}s); '
         f'{N_GENOMES} genomes x {GENOME_LEN} bp, k={K}, w={W}',
         file=sys.stderr,
     )

@@ -167,25 +167,56 @@ def _compact_chunks(ohs, poss, recs, asms, offs, out_cap: int):
     return oh, pos, rec, asm
 
 
-@functools.partial(jax.jit, static_argnames=('m', 'n_nodes', 'n_edges'))
+@functools.partial(jax.jit, static_argnames=('mq', 'nq', 'eq'))
 def _pack_outputs(s_pos, s_rec, node_hash, n_starts, n_stops, n_tar, n_neg,
-                  e_first, e_second, e_weight, m: int, n_nodes: int,
-                  n_edges: int):
-    """Trim and bitcast every output column into one flat u32 buffer."""
-    u32 = jnp.uint32
+                  e_first, e_second, e_weight, mq: int, nq: int, eq: int):
+    """Interleave the trimmed output columns into the exact byte layout of
+    KMER_DTYPE / NODE_DTYPE / EDGE_DTYPE, as ONE flat u32 buffer.
 
-    def b32(x):
-        return jax.lax.bitcast_convert_type(x, u32)
+    The host splits the transferred buffer with three `view()` calls
+    (`_split_outputs`) -- no strided per-field writes (host numpy bandwidth
+    is a measured bottleneck, PERF.md) and one jitted program instead of an
+    eager op storm over the relay. The u64->u32 bitcast word order matches a
+    little-endian numpy view (differentially tested vs the oracle backend).
+    """
+    u32, u64 = jnp.uint32, jnp.uint64
 
-    def b64(x):  # u64 -> interleaved (lo, hi) u32 pairs (little-endian)
-        return jax.lax.bitcast_convert_type(x, u32).reshape(-1)
+    def w2(x):  # 64-bit value column -> [n, 2] u32 words
+        return jax.lax.bitcast_convert_type(x.astype(u64), u32)
 
-    return jnp.concatenate([
-        b32(s_pos[:m]), b32(s_rec[:m]),
-        b64(node_hash[:n_nodes]), b32(n_starts[:n_nodes]),
-        b32(n_stops[:n_nodes]), b32(n_tar[:n_nodes]), b32(n_neg[:n_nodes]),
-        b64(e_first[:n_edges]), b64(e_second[:n_edges]), b32(e_weight[:n_edges]),
-    ])
+    kmer_w = jnp.stack(
+        [s_pos[:mq].astype(u32), s_rec[:mq].astype(u32)], axis=1)
+    node_w = jnp.concatenate([
+        w2(node_hash[:nq]),
+        w2(n_starts[:nq].astype(u32)),
+        w2(n_stops[:nq].astype(u32)),
+        n_tar[:nq].astype(u32)[:, None],
+        n_neg[:nq].astype(u32)[:, None],
+        jnp.zeros((nq, 2), u32),  # penalty slot (f64), filled on host
+    ], axis=1)
+    edge_w = jnp.concatenate([
+        w2(e_first[:eq]), w2(e_second[:eq]), w2(e_weight[:eq].astype(u32)),
+    ], axis=1)
+    return jnp.concatenate(
+        [kmer_w.reshape(-1), node_w.reshape(-1), edge_w.reshape(-1)])
+
+
+def _split_outputs(buf: np.ndarray, m: int, n_nodes: int, n_edges: int,
+                   mq: int, nq: int, eq: int):
+    """Split a `_pack_outputs` buffer into (kmers, nodes, edges) views."""
+    assert KMER_DTYPE.itemsize == 8 and NODE_DTYPE.itemsize == 40 \
+        and EDGE_DTYPE.itemsize == 24
+    o = 0
+    kmers = buf[o:o + mq * 2].view(KMER_DTYPE)[:m]
+    o += mq * 2
+    nodes = buf[o:o + nq * 10].view(NODE_DTYPE)[:n_nodes]
+    o += nq * 10
+    edges = buf[o:o + eq * 6].view(EDGE_DTYPE)[:n_edges]
+    # jax buffers arrive read-only; only nodes is mutated downstream
+    # (the penalty fill, pipeline/kmers.py) -- copy just that slice
+    if not nodes.flags.writeable:
+        nodes = nodes.copy()
+    return kmers, nodes, edges
 
 
 def aggregate_device(
@@ -273,39 +304,18 @@ def aggregate_device(
 
     # ONE device-to-host transfer: the relay pays ~8 ms latency per transfer
     # and its bandwidth grows with transfer size (8 MB -> 76 MB/s, 32 MB ->
-    # 135 MB/s measured), so all trimmed output columns are bitcast to u32 and
-    # shipped as a single packed buffer, split host-side by offset.
+    # 135 MB/s measured). Columns are interleaved on device into the final
+    # structured-dtype byte layouts (4k-quantized sizes for shape reuse) and
+    # split host-side with plain views.
+    q = 1 << 12
+    mq = min(-(-max(m, 1) // q) * q, len(s_pos))
+    nq = min(-(-max(n_nodes, 1) // q) * q, node_cap)
+    eq = min(-(-max(n_edges, 1) // q) * q, edge_cap)
     buf = np.asarray(_pack_outputs(
         s_pos, s_rec, node_hash, n_starts, n_stops, n_tar, n_neg,
-        e_first, e_second, e_weight, m, n_nodes, n_edges,
+        e_first, e_second, e_weight, mq, nq, eq,
     ))
-
-    off = 0
-
-    def take(cnt, dtype=np.uint32):
-        nonlocal off
-        words = cnt * (2 if dtype == np.uint64 else 1)
-        v = buf[off:off + words]
-        off += words
-        return v.view(dtype) if dtype != np.uint32 else v
-
-    kmers = np.zeros(m, dtype=KMER_DTYPE)
-    kmers['pos'] = take(m)
-    kmers['record_idx'] = take(m)
-
-    nodes = np.zeros(n_nodes, dtype=NODE_DTYPE)
-    nodes['hash'] = take(n_nodes, np.uint64)
-    nodes['start'] = take(n_nodes)
-    nodes['stop'] = take(n_nodes)
-    nodes['n_tar'] = take(n_nodes)
-    nodes['n_neg'] = take(n_nodes)
-
-    edges = np.zeros(n_edges, dtype=EDGE_DTYPE)
-    edges['first'] = take(n_edges, np.uint64)
-    edges['second'] = take(n_edges, np.uint64)
-    edges['weight'] = take(n_edges)
-
-    return kmers, nodes, edges
+    return _split_outputs(buf, m, n_nodes, n_edges, mq, nq, eq)
 
 
 def aggregate(

@@ -35,9 +35,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..graph.dtypes import EDGE_DTYPE, KMER_DTYPE, NODE_DTYPE
 from ..ops.hashing import MULTISHIFT, out_hash_mult
-from .aggregate import _merge_edges, _merge_nodes, _pack_outputs
+from .aggregate import _merge_edges, _merge_nodes, _pack_outputs, _split_outputs
 from .hybrid import (
     _asm_table,
     _host_irregular,
@@ -286,6 +285,9 @@ def build_fused(
     tmask[:len(tmask_h)] = tmask_h
 
     C = len(preps)
+    # pow2 caps: a 4k-quantized (non-pow2) emit_cap was tried and made the
+    # remote TPU compile of the fused program ~6x slower (876 s vs 156 s);
+    # the sort-padding cost it saved is far smaller
     emit_cap = min(max(1 << 12, next_pow2(int(2.5 * n / (windowsize + 1)) + 64)), n)
     out_cap = C * emit_cap
     node_cap = min(max(1 << 12, out_cap // 4), out_cap)
@@ -315,39 +317,22 @@ def build_fused(
         break
     logger.debug(f'fused: device scan+merge {_now() - _t0:.2f}s')
 
-    # trim to 4k multiples (bounded shape variety), ship as ONE transfer
+    # trim to 4k multiples (bounded shape variety); interleave on device into
+    # the final structured-dtype layouts; ship as ONE transfer; split with
+    # plain views on host (no strided field writes)
     _t0 = _now()
-    mq = min(-(-m // _TRIM_Q) * _TRIM_Q, out_cap)
-    nq = min(-(-n_nodes // _TRIM_Q) * _TRIM_Q, node_cap)
-    eq = min(-(-n_edges // _TRIM_Q) * _TRIM_Q, edge_cap)
-    buf = np.asarray(_pack_outputs(*out[:10], mq, nq, eq))
-
-    off = 0
-
-    def take(q, cnt, dtype=np.uint32):
-        nonlocal off
-        words = q * (2 if dtype == np.uint64 else 1)
-        v = buf[off:off + words]
-        off += words
-        v = v.view(dtype) if dtype != np.uint32 else v
-        return v[:cnt]
-
-    kmers = np.zeros(m, dtype=KMER_DTYPE)
-    kmers['pos'] = take(mq, m)
-    kmers['record_idx'] = take(mq, m)
-
-    nodes = np.zeros(n_nodes, dtype=NODE_DTYPE)
-    nodes['hash'] = take(nq, n_nodes, np.uint64)
-    nodes['start'] = take(nq, n_nodes)
-    nodes['stop'] = take(nq, n_nodes)
-    nodes['n_tar'] = take(nq, n_nodes)
-    nodes['n_neg'] = take(nq, n_nodes)
-
-    edges = np.zeros(n_edges, dtype=EDGE_DTYPE)
-    edges['first'] = take(eq, n_edges, np.uint64)
-    edges['second'] = take(eq, n_edges, np.uint64)
-    edges['weight'] = take(eq, n_edges)
-    logger.debug(f'fused: fetch+assemble {_now() - _t0:.2f}s')
+    mq = min(-(-max(m, 1) // _TRIM_Q) * _TRIM_Q, out_cap)
+    nq = min(-(-max(n_nodes, 1) // _TRIM_Q) * _TRIM_Q, node_cap)
+    eq = min(-(-max(n_edges, 1) // _TRIM_Q) * _TRIM_Q, edge_cap)
+    packed_dev = _pack_outputs(*out[:10], mq, nq, eq)
+    logger.debug(f'fused: pack dispatch {_now() - _t0:.2f}s')
+    _t0 = _now()
+    buf = np.asarray(packed_dev)
+    logger.debug(
+        f'fused: d2h {buf.nbytes / 1e6:.1f} MB {_now() - _t0:.2f}s')
+    _t0 = _now()
+    kmers, nodes, edges = _split_outputs(buf, m, n_nodes, n_edges, mq, nq, eq)
+    logger.debug(f'fused: host split {_now() - _t0:.2f}s')
     return kmers, nodes, edges
 
 
