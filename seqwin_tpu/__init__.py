@@ -19,6 +19,13 @@ import jax as _jax
 # any array is created.
 _jax.config.update('jax_enable_x64', True)
 
+# Explicit platform override (e.g. SEQWIN_TPU_PLATFORM=cpu for CPU-forced
+# verification runs). The environment's sitecustomize may pin JAX_PLATFORMS
+# to the TPU plugin before user env vars are consulted; jax.config.update
+# here still wins because no backend has been initialized yet.
+if _os.environ.get('SEQWIN_TPU_PLATFORM'):
+    _jax.config.update('jax_platforms', _os.environ['SEQWIN_TPU_PLATFORM'])
+
 # Persistent compilation cache: remote TPU compiles of the larger XLA graphs
 # take minutes; cache them across processes. Opt out with
 # SEQWIN_TPU_NO_COMPILE_CACHE=1.

@@ -109,9 +109,11 @@ def build(
 
     # fused one-program path: all chunk scans + the merge in a single device
     # program (engine/fused.py) -- immune to per-program relay overhead.
-    # Falls through to the per-chunk pipeline for oversized records (halo'd
-    # block splitting), emission overflows, or when disabled.
-    if not use_sort_engine and os.environ.get('SEQWIN_TPU_FUSED', '1') != '0':
+    # OFF by default: head-to-head on the real chip (192 Mbp, median of 3)
+    # measured the per-chunk pipeline at 3.04 s vs 3.55 s fused -- the
+    # host-prep/device overlap of deferred-sync chunks outweighs the saved
+    # program dispatches. SEQWIN_TPU_FUSED=1 re-enables.
+    if not use_sort_engine and os.environ.get('SEQWIN_TPU_FUSED', '0') == '1':
         chunk_lists, oversized = _group_chunks(parsed, chunk_budget)
         if chunk_lists and not oversized:
             from ..engine.fused import build_fused

@@ -69,10 +69,21 @@ def test_shape_budget(tmp_path, monkeypatch, k, w):
             targets.append(i % 2 == 0)
         return paths, targets
 
-    # cold build: ~4 chunks (24 Kbp+ over a 16 Kbp budget)
+    # sanity: the monitoring hook actually observes compiles (a fresh
+    # program with a shape no other test uses)
+    import jax
+    import jax.numpy as jnp
+
+    probe, _ = _count_compiles(
+        lambda: jax.jit(lambda x: x * 2 + 1)(jnp.arange(7919)).block_until_ready())
+    assert probe, 'compile-event listener saw nothing'
+
+    # cold build: ~4 chunks (24 Kbp+ over a 16 Kbp budget). May be zero if
+    # earlier tests in the session already warmed the same shape bucket --
+    # that is the shape policy working, not a failure.
     paths, targets = dataset(4)
     cold, _ = _count_compiles(lambda: build_fn(paths, k, w, targets))
-    assert 0 < len(cold) <= COLD_BUDGET, f'cold build compiled {cold}'
+    assert len(cold) <= COLD_BUDGET, f'cold build compiled {cold}'
 
     # the same shapes again: fully cached
     warm, _ = _count_compiles(lambda: build_fn(paths, k, w, targets))
