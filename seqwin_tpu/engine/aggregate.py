@@ -167,55 +167,82 @@ def _compact_chunks(ohs, poss, recs, asms, offs, out_cap: int):
     return oh, pos, rec, asm
 
 
-@functools.partial(jax.jit, static_argnames=('mq', 'nq', 'eq'))
-def _pack_outputs(s_pos, s_rec, node_hash, n_starts, n_stops, n_tar, n_neg,
-                  e_first, e_second, e_weight, mq: int, nq: int, eq: int):
-    """Interleave the trimmed output columns into the exact byte layout of
-    KMER_DTYPE / NODE_DTYPE / EDGE_DTYPE, as ONE flat u32 buffer.
+def _w2(x):  # 64-bit value column -> [n, 2] u32 words (little-endian order)
+    return jax.lax.bitcast_convert_type(x.astype(jnp.uint64), jnp.uint32)
 
-    The host splits the transferred buffer with three `view()` calls
-    (`_split_outputs`) -- no strided per-field writes (host numpy bandwidth
-    is a measured bottleneck, PERF.md) and one jitted program instead of an
-    eager op storm over the relay. The u64->u32 bitcast word order matches a
-    little-endian numpy view (differentially tested vs the oracle backend).
+
+@functools.partial(jax.jit, static_argnames=('mq', 'nq'))
+def _pack_kmers_nodes(s_pos, s_rec, node_hash, n_starts, n_stops, n_tar,
+                      n_neg, mq: int, nq: int):
+    """Interleave the kmers + nodes columns into the exact byte layouts of
+    KMER_DTYPE / NODE_DTYPE, as one flat u32 buffer.
+
+    The host splits the transferred buffer with plain `view()` calls
+    (`_split_kmers_nodes`) -- no strided per-field writes (host numpy
+    bandwidth is a measured bottleneck, PERF.md) and one jitted program
+    instead of an eager op storm over the relay. The u64->u32 bitcast word
+    order matches a little-endian numpy view (differentially tested vs the
+    oracle backend). Edges ride a separate buffer (`_pack_edges`) so this
+    transfer can overlap the edge-merge program on device.
     """
-    u32, u64 = jnp.uint32, jnp.uint64
-
-    def w2(x):  # 64-bit value column -> [n, 2] u32 words
-        return jax.lax.bitcast_convert_type(x.astype(u64), u32)
-
+    u32 = jnp.uint32
     kmer_w = jnp.stack(
         [s_pos[:mq].astype(u32), s_rec[:mq].astype(u32)], axis=1)
     node_w = jnp.concatenate([
-        w2(node_hash[:nq]),
-        w2(n_starts[:nq].astype(u32)),
-        w2(n_stops[:nq].astype(u32)),
+        _w2(node_hash[:nq]),
+        _w2(n_starts[:nq].astype(u32)),
+        _w2(n_stops[:nq].astype(u32)),
         n_tar[:nq].astype(u32)[:, None],
         n_neg[:nq].astype(u32)[:, None],
         jnp.zeros((nq, 2), u32),  # penalty slot (f64), filled on host
     ], axis=1)
+    return jnp.concatenate([kmer_w.reshape(-1), node_w.reshape(-1)])
+
+
+@functools.partial(jax.jit, static_argnames=('eq',))
+def _pack_edges(e_first, e_second, e_weight, eq: int):
+    """EDGE_DTYPE-layout u32 buffer (see `_pack_kmers_nodes`)."""
     edge_w = jnp.concatenate([
-        w2(e_first[:eq]), w2(e_second[:eq]), w2(e_weight[:eq].astype(u32)),
+        _w2(e_first[:eq]), _w2(e_second[:eq]),
+        _w2(e_weight[:eq].astype(jnp.uint32)),
     ], axis=1)
-    return jnp.concatenate(
-        [kmer_w.reshape(-1), node_w.reshape(-1), edge_w.reshape(-1)])
+    return edge_w.reshape(-1)
+
+
+def _pack_outputs(s_pos, s_rec, node_hash, n_starts, n_stops, n_tar, n_neg,
+                  e_first, e_second, e_weight, mq: int, nq: int, eq: int):
+    """Single-buffer variant (fused path): kmers+nodes+edges concatenated."""
+    return jnp.concatenate([
+        _pack_kmers_nodes(s_pos, s_rec, node_hash, n_starts, n_stops,
+                          n_tar, n_neg, mq, nq),
+        _pack_edges(e_first, e_second, e_weight, eq),
+    ])
+
+
+def _split_kmers_nodes(buf: np.ndarray, m: int, n_nodes: int,
+                       mq: int, nq: int):
+    """Split a `_pack_kmers_nodes` buffer into (kmers, nodes) views."""
+    assert KMER_DTYPE.itemsize == 8 and NODE_DTYPE.itemsize == 40
+    kmers = buf[:mq * 2].view(KMER_DTYPE)[:m]
+    nodes = buf[mq * 2:mq * 2 + nq * 10].view(NODE_DTYPE)[:n_nodes]
+    # jax buffers arrive read-only; only nodes is mutated downstream
+    # (the penalty fill, pipeline/kmers.py) -- copy just that slice
+    if not nodes.flags.writeable:
+        nodes = nodes.copy()
+    return kmers, nodes
+
+
+def _split_edges(buf: np.ndarray, n_edges: int, eq: int):
+    assert EDGE_DTYPE.itemsize == 24
+    return buf[:eq * 6].view(EDGE_DTYPE)[:n_edges]
 
 
 def _split_outputs(buf: np.ndarray, m: int, n_nodes: int, n_edges: int,
                    mq: int, nq: int, eq: int):
     """Split a `_pack_outputs` buffer into (kmers, nodes, edges) views."""
-    assert KMER_DTYPE.itemsize == 8 and NODE_DTYPE.itemsize == 40 \
-        and EDGE_DTYPE.itemsize == 24
-    o = 0
-    kmers = buf[o:o + mq * 2].view(KMER_DTYPE)[:m]
-    o += mq * 2
-    nodes = buf[o:o + nq * 10].view(NODE_DTYPE)[:n_nodes]
-    o += nq * 10
-    edges = buf[o:o + eq * 6].view(EDGE_DTYPE)[:n_edges]
-    # jax buffers arrive read-only; only nodes is mutated downstream
-    # (the penalty fill, pipeline/kmers.py) -- copy just that slice
-    if not nodes.flags.writeable:
-        nodes = nodes.copy()
+    kn = mq * 2 + nq * 10
+    kmers, nodes = _split_kmers_nodes(buf[:kn], m, n_nodes, mq, nq)
+    edges = _split_edges(buf[kn:], n_edges, eq)
     return kmers, nodes, edges
 
 
@@ -291,31 +318,38 @@ def aggregate_device(
         xa_h = np.zeros(0, np.int32)
     xu, xv, xa = jnp.asarray(xu_h), jnp.asarray(xv_h), jnp.asarray(xa_h)
 
-    pair_max = (n_padded - 1 if n_padded > 1 else 1) + xcap
-    edge_cap = min(node_cap * 4, pair_max)
-    while True:
-        e_first, e_second, e_weight, n_edges = _merge_edges(
-            oh, rec, asm, edge_cap, xu, xv, xa, i32(xn)
-        )
-        n_edges = int(n_edges)
-        if n_edges <= edge_cap:
-            break
-        edge_cap = min(1 << (n_edges - 1).bit_length(), pair_max)
-
-    # ONE device-to-host transfer: the relay pays ~8 ms latency per transfer
-    # and its bandwidth grows with transfer size (8 MB -> 76 MB/s, 32 MB ->
-    # 135 MB/s measured). Columns are interleaved on device into the final
-    # structured-dtype byte layouts (4k-quantized sizes for shape reuse) and
-    # split host-side with plain views.
+    # kmers + nodes are interleaved on device into the final structured-dtype
+    # byte layouts (4k-quantized sizes for shape reuse) and split host-side
+    # with plain views. The pack program is dispatched BEFORE the edge merge
+    # so its d2h transfer overlaps the edge-merge execution on device; edges
+    # then ship as a second small buffer.
     q = 1 << 12
     mq = min(-(-max(m, 1) // q) * q, len(s_pos))
     nq = min(-(-max(n_nodes, 1) // q) * q, node_cap)
+    buf_kn_dev = _pack_kmers_nodes(
+        s_pos, s_rec, node_hash, n_starts, n_stops, n_tar, n_neg, mq, nq)
+
+    pair_max = (n_padded - 1 if n_padded > 1 else 1) + xcap
+    edge_cap = min(node_cap * 4, pair_max)
+    e_first, e_second, e_weight, n_edges_dev = _merge_edges(
+        oh, rec, asm, edge_cap, xu, xv, xa, i32(xn)
+    )
+    buf_kn = np.asarray(buf_kn_dev)  # wire time rides the edge merge
+    while True:
+        n_edges = int(n_edges_dev)
+        if n_edges <= edge_cap:
+            break
+        edge_cap = min(1 << (n_edges - 1).bit_length(), pair_max)
+        e_first, e_second, e_weight, n_edges_dev = _merge_edges(
+            oh, rec, asm, edge_cap, xu, xv, xa, i32(xn)
+        )
+
     eq = min(-(-max(n_edges, 1) // q) * q, edge_cap)
-    buf = np.asarray(_pack_outputs(
-        s_pos, s_rec, node_hash, n_starts, n_stops, n_tar, n_neg,
-        e_first, e_second, e_weight, mq, nq, eq,
-    ))
-    return _split_outputs(buf, m, n_nodes, n_edges, mq, nq, eq)
+    buf_e = np.asarray(_pack_edges(e_first, e_second, e_weight, eq))
+
+    kmers, nodes = _split_kmers_nodes(buf_kn, m, n_nodes, mq, nq)
+    edges = _split_edges(buf_e, n_edges, eq)
+    return kmers, nodes, edges
 
 
 def aggregate(
