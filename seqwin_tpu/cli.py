@@ -73,8 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help='Number of parallel host processes/threads.')
     g_misc.add_argument('--low-memory', action='store_true',
                         help='Reduce peak memory (smaller device chunks).')
-    g_misc.add_argument('--backend', default='auto', choices=('auto', 'xla', 'numpy'),
-                        help='Compute backend for the graph build.')
+    g_misc.add_argument('--backend', default='auto',
+                        choices=('auto', 'xla', 'numpy', 'oracle'),
+                        help='Compute backend for the graph build (numpy = '
+                             'vectorized host reference; oracle = slow '
+                             'per-position reference).')
     g_misc.add_argument('--version', action='version', version=f'seqwin-tpu v{__version__}',
                         help='Show version and exit.')
     g_misc.add_argument('--help', '-h', action='help', help='Show this message and exit.')

@@ -100,7 +100,7 @@ class Config(BaseModel):
     low_memory: bool = False
 
     # TPU-specific (additive; defaults preserve reference behavior)
-    device_backend: str = 'auto'  # 'auto' | 'xla' | 'numpy'
+    device_backend: str = 'auto'  # 'auto' | 'xla' | 'numpy' | 'oracle'
     # Jaccard estimator for the penalty threshold:
     #   'auto'      -- reference behavior: external mash if run_mash and
     #                  installed, else the minimizer-sketch estimator

@@ -67,8 +67,9 @@ def build(
     if len(paths) > U32_MAX:
         raise ValueError('Number of input assemblies exceeds uint32 range')
 
-    if backend == 'numpy':
-        return _build_numpy(paths, kmerlen, windowsize, targets, n_cpu)
+    if backend in ('numpy', 'oracle'):
+        return _build_numpy(paths, kmerlen, windowsize, targets, n_cpu,
+                            oracle=backend == 'oracle')
 
     # --- ingest (parallel across files) ---
     _t0 = _now()
@@ -264,9 +265,14 @@ def _group_chunks(parsed, chunk_budget: int):
     return lists, oversized
 
 
-def _build_numpy(paths, kmerlen, windowsize, targets, n_cpu):
-    """Oracle fallback backend (slow; for debugging / jax-free envs)."""
-    from ..ops.oracle import build_graph
+def _build_numpy(paths, kmerlen, windowsize, targets, n_cpu, oracle=False):
+    """Device-free reference backends: the vectorized NumPy builder
+    (`ops/host_build.py`, `backend='numpy'`) or the per-position oracle
+    (`ops/oracle.py`, `backend='oracle'`, slow -- differential tests only)."""
+    if oracle:
+        from ..ops.oracle import build_graph
+    else:
+        from ..ops.host_build import build_graph_vec as build_graph
 
     record_ids: list[tuple[str, ...]] = []
     record_seqs: list[list[np.ndarray]] = []
