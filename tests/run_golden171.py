@@ -20,11 +20,12 @@ Two modes:
    workload with the same shape (72 targets sharing a recent ancestor, 99
    related non-targets, multi-record assemblies with N runs, ~reference
    minimizer density) and asserts BYTE-EQUALITY of the full pipeline output
-   (graph + signatures.fasta) between the TPU engine and the NumPy oracle
-   backend (`ops/oracle.py`, itself differentially validated against a
-   literal btllib ring-buffer simulation and the reference's smoke goldens).
-   This checks exactness at 171-genome scale; it does not replace the real
-   dataset comparison, and says so in its output.
+   (graph + signatures.fasta) between the TPU engine and the vectorized
+   device-free NumPy builder (`ops/host_build.py`, itself differentially
+   fuzz-tested against the per-position oracle `ops/oracle.py`, which is in
+   turn validated against a literal btllib ring-buffer simulation and the
+   reference's smoke goldens). This checks exactness at 171-genome scale; it
+   does not replace the real dataset comparison, and says so in its output.
 
 Usage:
     PYTHONPATH=/root/repo:/root/.axon_site python tests/run_golden171.py \
@@ -120,7 +121,8 @@ def proxy_gate(prefix: Path, genome_len: int) -> None:
     print('NOTE: no network egress in this environment -- the reference '
           'release tarball (tests/run_example.py:32-33) cannot be fetched. '
           'Running the documented PROXY gate instead: 171 synthetic genomes, '
-          'TPU engine vs NumPy oracle, full pipeline, byte-equality.',
+          'TPU engine vs vectorized NumPy reference, full pipeline, '
+          'byte-equality.',
           flush=True)
     rng = np.random.default_rng(171)
     data = prefix / 'data'
@@ -137,7 +139,7 @@ def proxy_gate(prefix: Path, genome_len: int) -> None:
     ]
     print(f'[1/2] device engine run ({171 * genome_len / 1e6:.0f} Mbp)...', flush=True)
     run_cli([*common, '--title', 'proxy-device'])
-    print('[2/2] numpy-oracle run (slow)...', flush=True)
+    print('[2/2] vectorized numpy-reference run...', flush=True)
     run_cli([*common, '--title', 'proxy-oracle', '--backend', 'numpy'])
 
     for name in ('signatures.fasta', 'signatures.csv'):
@@ -147,7 +149,8 @@ def proxy_gate(prefix: Path, genome_len: int) -> None:
             raise SystemExit(f'FAIL: device {name} != oracle {name}')
     n_sig = read_text(prefix / 'proxy-device' / 'signatures.fasta').count('>')
     print(f'PASS: proxy 171-genome gate -- {n_sig} signatures; pipeline '
-          'output byte-equal between the TPU engine and the NumPy oracle')
+          'output byte-equal between the TPU engine and the vectorized '
+          'NumPy reference')
 
 
 def main() -> None:
