@@ -369,13 +369,10 @@ def aggregate(
         # fallback: reconstruct contiguous per-assembly record ranges from the
         # (rec, asm) pairs (each assembly's records are a contiguous range)
         n_asm = len(is_target)
+        hi_per_asm = np.full(n_asm, -1, dtype=np.int64)
+        np.maximum.at(hi_per_asm, np.asarray(asm, np.int64), np.asarray(rec, np.int64))
         record_offsets = np.zeros(n_asm + 1, dtype=np.int64)
-        hi = -1
-        for a in range(n_asm):
-            sel = rec[asm == a]
-            if len(sel):
-                hi = max(hi, int(sel.max()))
-            record_offsets[a + 1] = hi + 1
+        record_offsets[1:] = np.maximum.accumulate(hi_per_asm) + 1
     cap = 1 << max(10, (m - 1).bit_length())
     p_oh = np.zeros(cap, np.uint64)
     p_pos = np.zeros(cap, np.uint32)
