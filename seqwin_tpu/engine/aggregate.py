@@ -219,6 +219,81 @@ def _pack_outputs(s_pos, s_rec, node_hash, n_starts, n_stops, n_tar, n_neg,
     ])
 
 
+def _pk16(x, q: int):
+    """i32/u32 column -> u16 pairs packed into u32 words (little-endian)."""
+    u32 = jnp.uint32
+    v = x[:q].astype(u32) & u32(0xFFFF)
+    return v[0::2] | (v[1::2] << u32(16))
+
+
+@functools.partial(jax.jit, static_argnames=('mq', 'nq'))
+def _pack_kmers_nodes_compact(s_pos, s_rec, node_hash, n_starts, n_stops,
+                              n_tar, n_neg, mq: int, nq: int):
+    """Compact column blocks: rec/counts as u16, start/stop as u32, no
+    penalty slot -- ~35% fewer d2h wire bytes than the interleaved layout
+    (the wire is the measured bottleneck, PERF.md). Host expansion runs in C
+    (`io/native.expand_kmers_nodes`). Callers must check u16/u32 range
+    guards (record count, assembly count, stream length)."""
+    u32 = jnp.uint32
+    return jnp.concatenate([
+        s_pos[:mq].astype(u32),
+        _pk16(s_rec, mq),
+        _w2(node_hash[:nq]).reshape(-1),
+        n_starts[:nq].astype(u32),
+        n_stops[:nq].astype(u32),
+        _pk16(n_tar, nq),
+        _pk16(n_neg, nq),
+    ])
+
+
+@functools.partial(jax.jit, static_argnames=('eq',))
+def _pack_edges_compact(e_first, e_second, e_weight, eq: int):
+    return jnp.concatenate([
+        _w2(e_first[:eq]).reshape(-1),
+        _w2(e_second[:eq]).reshape(-1),
+        _pk16(e_weight, eq),
+    ])
+
+
+def _split_kmers_nodes_compact(buf: np.ndarray, m: int, n_nodes: int,
+                               mq: int, nq: int):
+    """Expand a `_pack_kmers_nodes_compact` buffer (C fast path; NumPy
+    strided-write fallback when the native library is unavailable)."""
+    from ..io import native
+
+    kmers = np.zeros(m, dtype=KMER_DTYPE)
+    nodes = np.zeros(n_nodes, dtype=NODE_DTYPE)
+    if not native.expand_kmers_nodes(
+            np.ascontiguousarray(buf).view(np.uint8), m, n_nodes, mq, nq,
+            kmers, nodes):
+        o = mq
+        kmers['pos'] = buf[:mq][:m]
+        kmers['record_idx'] = buf[o:o + mq // 2].view(np.uint16)[:m]
+        o += mq // 2
+        nodes['hash'] = buf[o:o + nq * 2].view(np.uint64)[:n_nodes]
+        o += nq * 2
+        nodes['start'] = buf[o:o + nq][:n_nodes]
+        o += nq
+        nodes['stop'] = buf[o:o + nq][:n_nodes]
+        o += nq
+        nodes['n_tar'] = buf[o:o + nq // 2].view(np.uint16)[:n_nodes]
+        o += nq // 2
+        nodes['n_neg'] = buf[o:o + nq // 2].view(np.uint16)[:n_nodes]
+    return kmers, nodes
+
+
+def _split_edges_compact(buf: np.ndarray, n_edges: int, eq: int):
+    from ..io import native
+
+    edges = np.zeros(n_edges, dtype=EDGE_DTYPE)
+    if not native.expand_edges(
+            np.ascontiguousarray(buf).view(np.uint8), n_edges, eq, edges):
+        edges['first'] = buf[:eq * 2].view(np.uint64)[:n_edges]
+        edges['second'] = buf[eq * 2:eq * 4].view(np.uint64)[:n_edges]
+        edges['weight'] = buf[eq * 4:eq * 4 + eq // 2].view(np.uint16)[:n_edges]
+    return edges
+
+
 def _split_kmers_nodes(buf: np.ndarray, m: int, n_nodes: int,
                        mq: int, nq: int):
     """Split a `_pack_kmers_nodes` buffer into (kmers, nodes) views."""
@@ -318,15 +393,26 @@ def aggregate_device(
         xa_h = np.zeros(0, np.int32)
     xu, xv, xa = jnp.asarray(xu_h), jnp.asarray(xv_h), jnp.asarray(xa_h)
 
-    # kmers + nodes are interleaved on device into the final structured-dtype
-    # byte layouts (4k-quantized sizes for shape reuse) and split host-side
-    # with plain views. The pack program is dispatched BEFORE the edge merge
-    # so its d2h transfer overlaps the edge-merge execution on device; edges
-    # then ship as a second small buffer.
+    # kmers + nodes ship as one buffer, split host-side (4k-quantized sizes
+    # for shape reuse). When record/assembly counts fit u16 and the stream
+    # fits u32 (always, at reference scale), the COMPACT encoding cuts wire
+    # bytes ~35% and a C expansion rebuilds the structured arrays; otherwise
+    # the interleaved layout + plain views. The pack program is dispatched
+    # BEFORE the edge merge so its d2h transfer overlaps the edge-merge
+    # execution on device; edges then ship as a second small buffer.
+    import os
+
+    compact = (
+        int(record_offsets[-1]) <= 0xFFFF
+        and len(is_target) <= 0xFFFF
+        and n_padded <= 0xFFFFFFFF
+        and os.environ.get('SEQWIN_TPU_COMPACT', '1') != '0'
+    )
     q = 1 << 12
     mq = min(-(-max(m, 1) // q) * q, len(s_pos))
     nq = min(-(-max(n_nodes, 1) // q) * q, node_cap)
-    buf_kn_dev = _pack_kmers_nodes(
+    pack_kn = _pack_kmers_nodes_compact if compact else _pack_kmers_nodes
+    buf_kn_dev = pack_kn(
         s_pos, s_rec, node_hash, n_starts, n_stops, n_tar, n_neg, mq, nq)
 
     pair_max = (n_padded - 1 if n_padded > 1 else 1) + xcap
@@ -345,10 +431,20 @@ def aggregate_device(
         )
 
     eq = min(-(-max(n_edges, 1) // q) * q, edge_cap)
-    buf_e = np.asarray(_pack_edges(e_first, e_second, e_weight, eq))
+    # u16 packing pairs two entries per word; eq can be odd only when the
+    # (odd) pair_max capacity bound caps it on tiny inputs -- interleave then
+    compact_e = compact and eq % 2 == 0
+    pack_e = _pack_edges_compact if compact_e else _pack_edges
+    buf_e = np.asarray(pack_e(e_first, e_second, e_weight, eq))
 
-    kmers, nodes = _split_kmers_nodes(buf_kn, m, n_nodes, mq, nq)
-    edges = _split_edges(buf_e, n_edges, eq)
+    if compact:
+        kmers, nodes = _split_kmers_nodes_compact(buf_kn, m, n_nodes, mq, nq)
+    else:
+        kmers, nodes = _split_kmers_nodes(buf_kn, m, n_nodes, mq, nq)
+    if compact_e:
+        edges = _split_edges_compact(buf_e, n_edges, eq)
+    else:
+        edges = _split_edges(buf_e, n_edges, eq)
     return kmers, nodes, edges
 
 

@@ -95,6 +95,20 @@ def _load() -> ctypes.CDLL | None:
         lib.sq_layout_chunk.argtypes = _layout_args
         lib.sq_layout_chunk_packed.restype = ctypes.c_uint64
         lib.sq_layout_chunk_packed.argtypes = _layout_args
+        lib.sq_expand_kmers_nodes.restype = None
+        lib.sq_expand_kmers_nodes.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),   # buf
+            ctypes.c_uint64, ctypes.c_uint64,  # m, n_nodes
+            ctypes.c_uint64, ctypes.c_uint64,  # mq, nq
+            ctypes.POINTER(ctypes.c_uint8),   # kmers_out
+            ctypes.POINTER(ctypes.c_uint8),   # nodes_out
+        ]
+        lib.sq_expand_edges.restype = None
+        lib.sq_expand_edges.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),   # buf
+            ctypes.c_uint64, ctypes.c_uint64,  # n_edges, eq
+            ctypes.POINTER(ctypes.c_uint8),   # edges_out
+        ]
         _lib = lib
         return _lib
 
@@ -195,3 +209,36 @@ def parse_fasta_codes_native(path) -> tuple[list[str], list[np.ndarray]] | None:
         return ids, codes
     finally:
         lib.sq_free(h)
+
+
+def expand_kmers_nodes(buf: np.ndarray, m: int, n_nodes: int, mq: int,
+                       nq: int, kmers: np.ndarray, nodes: np.ndarray) -> bool:
+    """Expand a compact kmers+nodes transfer buffer (u32/u16 column blocks,
+    see `engine/aggregate._pack_kmers_nodes_compact`) into the structured
+    output arrays. Returns False when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return False
+    assert buf.dtype == np.uint8 and buf.flags.c_contiguous
+    lib.sq_expand_kmers_nodes(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(m), int(n_nodes), int(mq), int(nq),
+        kmers.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        nodes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return True
+
+
+def expand_edges(buf: np.ndarray, n_edges: int, eq: int,
+                 edges: np.ndarray) -> bool:
+    """Expand a compact edges transfer buffer; see `expand_kmers_nodes`."""
+    lib = _load()
+    if lib is None:
+        return False
+    assert buf.dtype == np.uint8 and buf.flags.c_contiguous
+    lib.sq_expand_edges(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(n_edges), int(eq),
+        edges.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return True

@@ -224,4 +224,61 @@ uint64_t sq_layout_chunk_packed(
     return n_inv;
 }
 
+
+// ---------------------------------------------------------------------------
+// Expand compact graph-output column blocks into the structured array
+// layouts (KMER_DTYPE / NODE_DTYPE / EDGE_DTYPE, `graph/dtypes.py`). The
+// device ships narrow columns (rec/counts/weights as u16, start/stop as u32,
+// no penalty slot) to cut d2h wire bytes ~30%; this host-side expansion runs
+// at memcpy speed where the equivalent NumPy strided writes measured
+// ~100 MB/s (PERF.md).
+//
+// kn buffer layout (byte offsets in u32 words, block sizes = quantized
+// mq/nq):  pos u32[mq] | rec u16[mq] | hash u64[nq] | start u32[nq] |
+//          stop u32[nq] | n_tar u16[nq] | n_neg u16[nq]
+// edge buffer: first u64[eq] | second u64[eq] | weight u16[eq]
+
+struct SqKmer { uint32_t pos; uint32_t rec; };
+struct SqNode { uint64_t hash, start, stop; uint32_t n_tar, n_neg; double penalty; };
+struct SqEdge { uint64_t first, second, weight; };
+
+void sq_expand_kmers_nodes(
+    const uint8_t* buf, uint64_t m, uint64_t n_nodes, uint64_t mq,
+    uint64_t nq, uint8_t* kmers_out, uint8_t* nodes_out) {
+    static_assert(sizeof(SqKmer) == 8 && sizeof(SqNode) == 40, "layout");
+    const uint32_t* pos = (const uint32_t*)buf;
+    const uint16_t* rec = (const uint16_t*)(pos + mq);
+    const uint64_t* hash = (const uint64_t*)(rec + mq);
+    const uint32_t* start = (const uint32_t*)(hash + nq);
+    const uint32_t* stop = start + nq;
+    const uint16_t* n_tar = (const uint16_t*)(stop + nq);
+    const uint16_t* n_neg = n_tar + nq;
+    SqKmer* ko = (SqKmer*)kmers_out;
+    for (uint64_t i = 0; i < m; ++i) { ko[i].pos = pos[i]; ko[i].rec = rec[i]; }
+    SqNode* no = (SqNode*)nodes_out;
+    for (uint64_t i = 0; i < n_nodes; ++i) {
+        no[i].hash = hash[i];
+        no[i].start = start[i];
+        no[i].stop = stop[i];
+        no[i].n_tar = n_tar[i];
+        no[i].n_neg = n_neg[i];
+        no[i].penalty = 0.0;
+    }
+}
+
+void sq_expand_edges(
+    const uint8_t* buf, uint64_t n_edges, uint64_t eq, uint8_t* edges_out) {
+    static_assert(sizeof(SqEdge) == 24, "layout");
+    const uint64_t* first = (const uint64_t*)buf;
+    const uint64_t* second = first + eq;
+    const uint16_t* weight = (const uint16_t*)(second + eq);
+    SqEdge* eo = (SqEdge*)edges_out;
+    for (uint64_t i = 0; i < n_edges; ++i) {
+        eo[i].first = first[i];
+        eo[i].second = second[i];
+        eo[i].weight = weight[i];
+    }
+}
+
 }  // extern "C"
+

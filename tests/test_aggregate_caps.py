@@ -89,3 +89,41 @@ def test_build_fuzz_stress_irregular(tmp_path, seed):
         np.testing.assert_array_equal(got[1][f], ref[1][f])
     np.testing.assert_array_equal(got[2], ref[2])
     np.testing.assert_array_equal(got[3], ref[3])
+
+
+def test_compact_transfer_matches_interleaved(tmp_path, monkeypatch):
+    """The compact d2h encoding (u16 rec/counts/weights, C expansion) must be
+    byte-identical to the interleaved layout, with and without the native
+    expansion library."""
+    import seqwin_tpu.io.native as native
+    from seqwin_tpu.graph.build import build
+
+    rng = np.random.default_rng(5)
+    paths, targets = [], []
+    alphabet = np.frombuffer(b'ACGT', dtype=np.uint8)
+    for i in range(4):
+        codes = rng.integers(0, 4, size=5000 + 311 * i).astype(np.uint8)
+        seq = alphabet[codes].tobytes().decode()
+        p = tmp_path / f'c{i}.fa'
+        p.write_text(f'>r{i}a\n{seq[:2000]}\n>r{i}b\n{seq[2000:]}\n')
+        paths.append(p)
+        targets.append(i % 2 == 0)
+
+    ref = build(paths, 13, 9, targets)  # compact (native expansion)
+    assert native.available(), 'native library must be present in this env'
+
+    monkeypatch.setenv('SEQWIN_TPU_COMPACT', '0')
+    inter = build(paths, 13, 9, targets)
+    monkeypatch.delenv('SEQWIN_TPU_COMPACT')
+
+    # numpy fallback expansion (native library unavailable)
+    monkeypatch.setattr(native, 'expand_kmers_nodes', lambda *a, **k: False)
+    monkeypatch.setattr(native, 'expand_edges', lambda *a, **k: False)
+    fb = build(paths, 13, 9, targets)
+
+    for got in (inter, fb):
+        np.testing.assert_array_equal(got[0], ref[0])
+        for f in ref[1].dtype.names:
+            np.testing.assert_array_equal(got[1][f], ref[1][f])
+        np.testing.assert_array_equal(got[2], ref[2])
+        np.testing.assert_array_equal(got[3], ref[3])
