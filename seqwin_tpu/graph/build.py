@@ -71,50 +71,56 @@ def build(
         return _build_numpy(paths, kmerlen, windowsize, targets, n_cpu,
                             oracle=backend == 'oracle')
 
-    # --- ingest (parallel across files) ---
-    _t0 = _now()
-    n_workers = max(1, min(int(n_cpu), len(paths) or 1))
-    if n_workers > 1:
-        with ThreadPoolExecutor(max_workers=n_workers) as ex:
-            parsed = list(ex.map(parse_fasta_codes, paths))
-    else:
-        parsed = [parse_fasta_codes(p) for p in paths]
-    logger.debug(f'build: ingest {_now() - _t0:.2f}s')
-
-    record_ids: list[tuple[str, ...]] = []
-    record_offsets = [0]
-    for pi, (ids, codes_list) in enumerate(parsed):
-        for rid, codes in zip(ids, codes_list):
-            if len(codes) > U32_MAX:
-                raise ValueError(
-                    f'Sequence length exceeds uint32 range for record {rid} in assembly {paths[pi]}'
-                )
-        record_ids.append(tuple(ids))
-        record_offsets.append(record_offsets[-1] + len(ids))
-    if record_offsets[-1] > U32_MAX:
-        raise ValueError('Total number of FASTA records exceeds uint32 range')
-    offsets = np.array(record_offsets, dtype=np.uintp)
-
-    # --- chunked device scan (results stay device-resident until aggregation) ---
+    # --- chunked device scan config ---
     import os
 
     use_sort_engine = os.environ.get('SEQWIN_TPU_SCAN', 'hybrid') == 'sort'
     chunk_budget = LOW_MEMORY_CHUNK_BASES if low_memory else int(
         os.environ.get('SEQWIN_TPU_CHUNK_BASES', DEFAULT_CHUNK_BASES))
-    # one compiled shape per run: pad all chunks to the same bucket, bounded
-    # by the dataset size (tiny datasets stay tiny)
-    total_bases = sum(
-        len(codes) for _, codes_list in parsed for codes in codes_list
+    use_fused = (
+        not use_sort_engine and os.environ.get('SEQWIN_TPU_FUSED', '0') == '1'
     )
-    shape_bucket = min(chunk_budget, 1 << max(16, (max(1, total_bases) - 1).bit_length()))
+
+    # --- ingest (parallel across files), STREAMED into the dispatch loop:
+    # files parse in worker threads while earlier chunks run on device. ---
+    _t0_ingest = _now()
+    n_workers = max(1, min(int(n_cpu), len(paths) or 1))
+    ex = ThreadPoolExecutor(max_workers=n_workers)
+    parsed_iter = ex.map(parse_fasta_codes, paths)
+
+    record_ids: list[tuple[str, ...]] = []
+    record_offsets = [0]
+    total_bases = 0
+
+    def take_parsed(pi, ids, codes_list):
+        nonlocal total_bases
+        for rid, codes in zip(ids, codes_list):
+            if len(codes) > U32_MAX:
+                raise ValueError(
+                    f'Sequence length exceeds uint32 range for record {rid} in assembly {paths[pi]}'
+                )
+            total_bases += len(codes)
+        record_ids.append(tuple(ids))
+        record_offsets.append(record_offsets[-1] + len(ids))
+        if record_offsets[-1] > U32_MAX:
+            raise ValueError('Total number of FASTA records exceeds uint32 range')
 
     # fused one-program path: all chunk scans + the merge in a single device
     # program (engine/fused.py) -- immune to per-program relay overhead.
     # OFF by default: head-to-head on the real chip (192 Mbp, median of 3)
     # measured the per-chunk pipeline at 3.04 s vs 3.55 s fused -- the
     # host-prep/device overlap of deferred-sync chunks outweighs the saved
-    # program dispatches. SEQWIN_TPU_FUSED=1 re-enables.
-    if not use_sort_engine and os.environ.get('SEQWIN_TPU_FUSED', '0') == '1':
+    # program dispatches. SEQWIN_TPU_FUSED=1 re-enables. (Needs the whole
+    # dataset up front, so it forgoes the streamed ingest.)
+    if use_fused:
+        parsed = list(parsed_iter)
+        ex.shutdown(wait=True)
+        for pi, (ids, codes_list) in enumerate(parsed):
+            take_parsed(pi, ids, codes_list)
+        offsets = np.array(record_offsets, dtype=np.uintp)
+        logger.debug(f'build: ingest {_now() - _t0_ingest:.2f}s')
+        shape_bucket_f = min(
+            chunk_budget, 1 << max(16, (max(1, total_bases) - 1).bit_length()))
         chunk_lists, oversized = _group_chunks(parsed, chunk_budget)
         if chunk_lists and not oversized:
             from ..engine.fused import build_fused
@@ -122,12 +128,14 @@ def build(
             _t0 = _now()
             res = build_fused(
                 chunk_lists, kmerlen, windowsize, offsets, targets,
-                min_chunk=shape_bucket, n_cpu=n_cpu,
+                min_chunk=shape_bucket_f, n_cpu=n_cpu,
             )
             if res is not None:
                 logger.debug(f'build: fused total {_now() - _t0:.2f}s')
                 return (*res, offsets, record_ids)
             logger.debug('build: fused fell back to per-chunk path')
+        parsed_iter = iter(parsed)
+        record_ids, record_offsets, total_bases = [], [0], 0
 
     chunk_results = []  # (e_oh, e_pos, e_rec, count) device arrays
     chunk_inputs = []   # (record list, rec_base) for overflow re-runs
@@ -135,11 +143,30 @@ def build(
     chunk_rec_base = 0
     chunk_bases = 0
     rec_global = 0
+    # one compiled shape per run: all chunks pad to one shared bucket. The
+    # bucket is resolved lazily: any flush BEFORE the ingest ends implies
+    # total > chunk_budget (the budget-overflow / oversized-record triggers),
+    # so the bucket is the budget; a dataset that fits in one chunk resolves
+    # at the final flush from its exact total -- identical to the eager
+    # min(budget, pow2(total)) rule, without needing the total up front.
+    shape_bucket = None
 
-    def flush():
+    def ensure_bucket(final: bool = False):
+        nonlocal shape_bucket
+        if shape_bucket is None:
+            if final:
+                shape_bucket = min(
+                    chunk_budget,
+                    1 << max(16, (max(1, total_bases) - 1).bit_length()),
+                )
+            else:
+                shape_bucket = chunk_budget
+
+    def flush(final: bool = False):
         nonlocal chunk_codes, chunk_rec_base, chunk_bases
         if not chunk_codes:
             return
+        ensure_bucket(final)
         if use_sort_engine:
             from ..engine.minimizer import scan_records_host
 
@@ -154,13 +181,14 @@ def build(
             from ..engine.hybrid import scan_chunk_device
 
             # deferred sync: device compute of this chunk overlaps host prep
-            # of the next; emission-capacity overflows are detected below and
-            # those chunks re-run synchronously (rare)
+            # of the next (and, streamed, the parse of later files);
+            # emission-capacity overflows are detected below and those
+            # chunks re-run synchronously (rare)
             chunk_results.append(
                 scan_chunk_device(
                     chunk_codes, kmerlen, windowsize, chunk_rec_base,
                     min_chunk=shape_bucket, defer_sync=True,
-                    record_offsets=offsets,
+                    record_offsets=np.array(record_offsets, dtype=np.uintp),
                 )
             )
         chunk_inputs.append((chunk_codes, chunk_rec_base))
@@ -169,31 +197,41 @@ def build(
 
     _t0 = _now()
     bridge_pairs = []  # block-junction edges of records split over chunks
-    for ids, codes_list in parsed:
-        for codes in codes_list:
-            if not use_sort_engine and len(codes) > chunk_budget:
-                # a record larger than the chunk budget: exact halo'd block
-                # scan (sequence-length scaling, SURVEY.md §2.3)
-                from ..engine.hybrid import scan_record_blocks
+    try:
+        for pi, (ids, codes_list) in enumerate(parsed_iter):
+            take_parsed(pi, ids, codes_list)
+            for codes in codes_list:
+                if not use_sort_engine and len(codes) > chunk_budget:
+                    # a record larger than the chunk budget: exact halo'd
+                    # block scan (sequence-length scaling, SURVEY.md §2.3)
+                    from ..engine.hybrid import scan_record_blocks
 
-                flush()
-                res, pairs = scan_record_blocks(
-                    codes, kmerlen, windowsize, rec_global, chunk_budget,
-                    min_chunk=shape_bucket, record_offsets=offsets,
-                )
-                chunk_results.extend(res)
-                chunk_inputs.extend([None] * len(res))
-                bridge_pairs.extend(pairs)
-                chunk_rec_base = rec_global + 1
+                    flush()
+                    ensure_bucket()  # record > budget => bucket == budget
+                    res, pairs = scan_record_blocks(
+                        codes, kmerlen, windowsize, rec_global, chunk_budget,
+                        min_chunk=shape_bucket,
+                        record_offsets=np.array(record_offsets, dtype=np.uintp),
+                    )
+                    chunk_results.extend(res)
+                    chunk_inputs.extend([None] * len(res))
+                    bridge_pairs.extend(pairs)
+                    chunk_rec_base = rec_global + 1
+                    rec_global += 1
+                    continue
+                if chunk_bases + len(codes) > chunk_budget and chunk_codes:
+                    flush()
+                chunk_codes.append(codes)
+                chunk_bases += len(codes)
                 rec_global += 1
-                continue
-            if chunk_bases + len(codes) > chunk_budget and chunk_codes:
-                flush()
-            chunk_codes.append(codes)
-            chunk_bases += len(codes)
-            rec_global += 1
-    flush()
-    logger.debug(f'build: scan dispatch {_now() - _t0:.2f}s ({len(chunk_results)} chunks)')
+        flush(final=True)
+    finally:
+        ex.shutdown(wait=True)
+    offsets = np.array(record_offsets, dtype=np.uintp)
+    logger.debug(
+        f'build: ingest+dispatch {_now() - _t0_ingest:.2f}s '
+        f'({len(chunk_results)} chunks)'
+    )
 
     _t0 = _now()
     if not use_sort_engine:
