@@ -74,6 +74,20 @@ def build(
     # --- chunked device scan config ---
     import os
 
+    # multi-host scale-out entry point: SEQWIN_TPU_MULTIHOST='' (or '1') on
+    # an already-initialized jax.distributed runtime, or
+    # 'coordinator:port,num_processes,process_id' to initialize here. Each
+    # process parses its own contiguous assembly share; output arrays (and
+    # bytes) match the single-process build.
+    mh = os.environ.get('SEQWIN_TPU_MULTIHOST')
+    if mh is not None:
+        from ..parallel import multihost
+
+        if mh not in ('', '1'):
+            coord, nproc_s, pid_s = mh.rsplit(',', 2)
+            multihost.initialize(coord, int(nproc_s), int(pid_s))
+        return multihost.build_multihost(paths, kmerlen, windowsize, targets)
+
     use_sort_engine = os.environ.get('SEQWIN_TPU_SCAN', 'hybrid') == 'sort'
     chunk_budget = LOW_MEMORY_CHUNK_BASES if low_memory else int(
         os.environ.get('SEQWIN_TPU_CHUNK_BASES', DEFAULT_CHUNK_BASES))

@@ -91,6 +91,31 @@ def exchange_record_counts(local_counts: np.ndarray, n_processes: int) -> np.nda
     return np.concatenate(parts) if parts else np.zeros(0, np.int64)
 
 
+def exchange_record_ids(
+    my_ids: list[tuple[str, ...]], n_processes: int
+) -> list[tuple[str, ...]]:
+    """All-gather every process's per-assembly record-id tuples -> the GLOBAL
+    list in assembly order (contiguous process partitions concatenate)."""
+    if n_processes <= 1:
+        return list(my_ids)
+    import json
+
+    from jax.experimental import multihost_utils
+
+    payload = json.dumps([list(t) for t in my_ids]).encode()
+    cap = int(multihost_utils.process_allgather(
+        np.asarray([len(payload)], dtype=np.int64)).max())
+    buf = np.zeros(cap + 8, dtype=np.uint8)
+    buf[:8] = np.frombuffer(np.int64(len(payload)).tobytes(), np.uint8)
+    buf[8:8 + len(payload)] = np.frombuffer(payload, np.uint8)
+    gathered = np.asarray(multihost_utils.process_allgather(buf))  # [P, cap+8]
+    out: list[tuple[str, ...]] = []
+    for row in gathered:
+        ln = int(np.frombuffer(row[:8].tobytes(), np.int64)[0])
+        out.extend(tuple(x) for x in json.loads(row[8:8 + ln].tobytes().decode()))
+    return out
+
+
 def build_multihost(
     assembly_paths,
     kmerlen: int,
@@ -146,5 +171,6 @@ def build_multihost(
         my_codes, record_offsets, targets, kmerlen, windowsize, mesh,
         rec_base0=rec_base0,
     )
+    all_ids = exchange_record_ids(my_ids, nproc)
     multihost_utils.sync_global_devices('seqwin-tpu multihost build')
-    return kmers, nodes, edges, record_offsets, my_ids
+    return kmers, nodes, edges, record_offsets, all_ids

@@ -42,12 +42,16 @@ def main() -> None:
             paths.append(p)
             targets.append(bool(int(t)))
 
-    kmers, nodes, edges, offsets, _ = build_multihost(paths, 17, 10, targets)
+    kmers, nodes, edges, offsets, record_ids = build_multihost(paths, 17, 10, targets)
     if int(pid) == 0:
+        import json
+
         np.savez(
             out_path, kmers=kmers, nodes=nodes, edges=edges,
             record_offsets=np.asarray(offsets, dtype=np.int64),
         )
+        with open(str(out_path) + '.ids.json', 'w') as f:
+            json.dump([list(t) for t in record_ids], f)
     print(f'worker {pid}: done', flush=True)
 
 

@@ -189,11 +189,16 @@ def test_multihost_two_process_e2e(tmp_path, fixture_paths):
         assert p.returncode == 0, f'worker failed:\n{o}'
 
     got = np.load(out_npz, allow_pickle=False)
-    ref_k, ref_n, ref_e, ref_off, _ = build(fixture_paths, 17, 10, targets)
+    ref_k, ref_n, ref_e, ref_off, ref_ids = build(fixture_paths, 17, 10, targets)
     np.testing.assert_array_equal(got['kmers'], ref_k)
     np.testing.assert_array_equal(got['nodes'], ref_n)
     np.testing.assert_array_equal(got['edges'], ref_e)
     np.testing.assert_array_equal(got['record_offsets'], ref_off.astype(np.int64))
+    import json
+
+    with open(str(out_npz) + '.ids.json') as f:
+        got_ids = [tuple(t) for t in json.load(f)]
+    assert got_ids == [tuple(t) for t in ref_ids]
 
 
 def test_build_distributed_arrays_rec_base0():
@@ -214,3 +219,19 @@ def test_build_distributed_arrays_rec_base0():
     # records 5..7 belong to assembly 1, which is non-target
     assert nodes['n_tar'].sum() == 0
     assert nodes['n_neg'].sum() == len(nodes) > 0
+
+
+def test_multihost_env_routing_single_process(fixture_paths, monkeypatch):
+    """SEQWIN_TPU_MULTIHOST routes graph.build through build_multihost; at
+    one process it must be byte-identical to the default engine."""
+    targets = [True, True, False, False]
+    ref = build(fixture_paths, 17, 10, targets)
+    monkeypatch.setenv('SEQWIN_TPU_MULTIHOST', '')
+    got = build(fixture_paths, 17, 10, targets)
+    np.testing.assert_array_equal(got[0], ref[0])
+    for f in ref[1].dtype.names:
+        np.testing.assert_array_equal(got[1][f], ref[1][f])
+    np.testing.assert_array_equal(got[2], ref[2])
+    np.testing.assert_array_equal(
+        np.asarray(got[3], np.int64), np.asarray(ref[3], np.int64))
+    assert [tuple(t) for t in got[4]] == [tuple(t) for t in ref[4]]
