@@ -209,9 +209,11 @@ def _pack_edges(e_first, e_second, e_weight, eq: int):
     return edge_w.reshape(-1)
 
 
+@functools.partial(jax.jit, static_argnames=('mq', 'nq', 'eq'))
 def _pack_outputs(s_pos, s_rec, node_hash, n_starts, n_stops, n_tar, n_neg,
                   e_first, e_second, e_weight, mq: int, nq: int, eq: int):
-    """Single-buffer variant (fused path): kmers+nodes+edges concatenated."""
+    """Single-buffer variant (fused path): kmers+nodes+edges concatenated,
+    jitted so the pack stays ONE device program."""
     return jnp.concatenate([
         _pack_kmers_nodes(s_pos, s_rec, node_hash, n_starts, n_stops,
                           n_tar, n_neg, mq, nq),

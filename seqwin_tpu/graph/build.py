@@ -83,10 +83,14 @@ def build(
     if mh is not None:
         from ..parallel import multihost
 
+        if low_memory:
+            logger.warning(
+                'low_memory is not supported by the multihost build path; ignoring')
         if mh not in ('', '1'):
             coord, nproc_s, pid_s = mh.rsplit(',', 2)
             multihost.initialize(coord, int(nproc_s), int(pid_s))
-        return multihost.build_multihost(paths, kmerlen, windowsize, targets)
+        return multihost.build_multihost(
+            paths, kmerlen, windowsize, targets, n_cpu=n_cpu)
 
     use_sort_engine = os.environ.get('SEQWIN_TPU_SCAN', 'hybrid') == 'sort'
     chunk_budget = LOW_MEMORY_CHUNK_BASES if low_memory else int(
@@ -127,8 +131,10 @@ def build(
     # program dispatches. SEQWIN_TPU_FUSED=1 re-enables. (Needs the whole
     # dataset up front, so it forgoes the streamed ingest.)
     if use_fused:
-        parsed = list(parsed_iter)
-        ex.shutdown(wait=True)
+        try:
+            parsed = list(parsed_iter)
+        finally:
+            ex.shutdown(wait=True, cancel_futures=True)
         for pi, (ids, codes_list) in enumerate(parsed):
             take_parsed(pi, ids, codes_list)
         offsets = np.array(record_offsets, dtype=np.uintp)
@@ -240,7 +246,7 @@ def build(
                 rec_global += 1
         flush(final=True)
     finally:
-        ex.shutdown(wait=True)
+        ex.shutdown(wait=True, cancel_futures=True)
     offsets = np.array(record_offsets, dtype=np.uintp)
     logger.debug(
         f'build: ingest+dispatch {_now() - _t0_ingest:.2f}s '

@@ -61,56 +61,71 @@ def _load() -> ctypes.CDLL | None:
                 return None
         try:
             lib = ctypes.CDLL(str(path))
-        except OSError as e:
-            logger.debug(f'native ingest load failed: {e}')
-            _lib_failed = True
-            return None
-        lib.sq_parse.restype = ctypes.c_void_p
-        lib.sq_parse.argtypes = [ctypes.c_char_p]
-        lib.sq_error.restype = ctypes.c_char_p
-        lib.sq_error.argtypes = [ctypes.c_void_p]
-        lib.sq_n_records.restype = ctypes.c_uint64
-        lib.sq_n_records.argtypes = [ctypes.c_void_p]
-        lib.sq_total_bases.restype = ctypes.c_uint64
-        lib.sq_total_bases.argtypes = [ctypes.c_void_p]
-        lib.sq_codes.restype = ctypes.POINTER(ctypes.c_uint8)
-        lib.sq_codes.argtypes = [ctypes.c_void_p]
-        lib.sq_offsets.restype = ctypes.POINTER(ctypes.c_uint64)
-        lib.sq_offsets.argtypes = [ctypes.c_void_p]
-        lib.sq_record_id.restype = ctypes.c_char_p
-        lib.sq_record_id.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
-        lib.sq_free.argtypes = [ctypes.c_void_p]
-        _layout_args = [
-            ctypes.POINTER(ctypes.c_void_p),  # recs
-            ctypes.POINTER(ctypes.c_uint64),  # lens
-            ctypes.c_uint64,                  # n_recs
-            ctypes.POINTER(ctypes.c_uint8),   # buf
-            ctypes.c_uint64,                  # n
-            ctypes.c_uint64,                  # offset
-            ctypes.POINTER(ctypes.c_int64),   # starts_out
-            ctypes.POINTER(ctypes.c_int64),   # inv_out
-            ctypes.c_uint64,                  # inv_cap
-        ]
-        lib.sq_layout_chunk.restype = ctypes.c_uint64
-        lib.sq_layout_chunk.argtypes = _layout_args
-        lib.sq_layout_chunk_packed.restype = ctypes.c_uint64
-        lib.sq_layout_chunk_packed.argtypes = _layout_args
-        lib.sq_expand_kmers_nodes.restype = None
-        lib.sq_expand_kmers_nodes.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8),   # buf
-            ctypes.c_uint64, ctypes.c_uint64,  # m, n_nodes
-            ctypes.c_uint64, ctypes.c_uint64,  # mq, nq
-            ctypes.POINTER(ctypes.c_uint8),   # kmers_out
-            ctypes.POINTER(ctypes.c_uint8),   # nodes_out
-        ]
-        lib.sq_expand_edges.restype = None
-        lib.sq_expand_edges.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8),   # buf
-            ctypes.c_uint64, ctypes.c_uint64,  # n_edges, eq
-            ctypes.POINTER(ctypes.c_uint8),   # edges_out
-        ]
+            _register(lib)
+        except (OSError, AttributeError) as e:
+            # AttributeError: a stale cached .so predating a new symbol --
+            # rebuild once, then fall back silently (module contract)
+            logger.debug(f'native ingest load failed ({e}); rebuilding')
+            if _build_library() is not None:
+                try:
+                    lib = ctypes.CDLL(str(_LIB_PATH))
+                    _register(lib)
+                except (OSError, AttributeError) as e2:
+                    logger.debug(f'native ingest rebuild load failed: {e2}')
+                    _lib_failed = True
+                    return None
+            else:
+                _lib_failed = True
+                return None
         _lib = lib
         return _lib
+
+
+def _register(lib: ctypes.CDLL) -> None:
+    lib.sq_parse.restype = ctypes.c_void_p
+    lib.sq_parse.argtypes = [ctypes.c_char_p]
+    lib.sq_error.restype = ctypes.c_char_p
+    lib.sq_error.argtypes = [ctypes.c_void_p]
+    lib.sq_n_records.restype = ctypes.c_uint64
+    lib.sq_n_records.argtypes = [ctypes.c_void_p]
+    lib.sq_total_bases.restype = ctypes.c_uint64
+    lib.sq_total_bases.argtypes = [ctypes.c_void_p]
+    lib.sq_codes.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.sq_codes.argtypes = [ctypes.c_void_p]
+    lib.sq_offsets.restype = ctypes.POINTER(ctypes.c_uint64)
+    lib.sq_offsets.argtypes = [ctypes.c_void_p]
+    lib.sq_record_id.restype = ctypes.c_char_p
+    lib.sq_record_id.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    lib.sq_free.argtypes = [ctypes.c_void_p]
+    _layout_args = [
+        ctypes.POINTER(ctypes.c_void_p),  # recs
+        ctypes.POINTER(ctypes.c_uint64),  # lens
+        ctypes.c_uint64,                  # n_recs
+        ctypes.POINTER(ctypes.c_uint8),   # buf
+        ctypes.c_uint64,                  # n
+        ctypes.c_uint64,                  # offset
+        ctypes.POINTER(ctypes.c_int64),   # starts_out
+        ctypes.POINTER(ctypes.c_int64),   # inv_out
+        ctypes.c_uint64,                  # inv_cap
+    ]
+    lib.sq_layout_chunk.restype = ctypes.c_uint64
+    lib.sq_layout_chunk.argtypes = _layout_args
+    lib.sq_layout_chunk_packed.restype = ctypes.c_uint64
+    lib.sq_layout_chunk_packed.argtypes = _layout_args
+    lib.sq_expand_kmers_nodes.restype = None
+    lib.sq_expand_kmers_nodes.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),   # buf
+        ctypes.c_uint64, ctypes.c_uint64,  # m, n_nodes
+        ctypes.c_uint64, ctypes.c_uint64,  # mq, nq
+        ctypes.POINTER(ctypes.c_uint8),   # kmers_out
+        ctypes.POINTER(ctypes.c_uint8),   # nodes_out
+    ]
+    lib.sq_expand_edges.restype = None
+    lib.sq_expand_edges.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),   # buf
+        ctypes.c_uint64, ctypes.c_uint64,  # n_edges, eq
+        ctypes.POINTER(ctypes.c_uint8),   # edges_out
+    ]
 
 
 def available() -> bool:

@@ -68,6 +68,22 @@ def partition_paths(paths: list, sizes: list[int], n_processes: int, process_id:
     return [paths[i] for i in partition_indices(sizes, n_processes, process_id)]
 
 
+def _allgather_ragged_i64(vec: np.ndarray) -> list[np.ndarray]:
+    """All-gather variable-length int64 vectors across processes: each row
+    of the padded exchange carries its length in slot 0, so every process
+    recovers every other's exact vector, in process order."""
+    from jax.experimental import multihost_utils
+
+    vec = np.asarray(vec, dtype=np.int64)
+    cap = int(multihost_utils.process_allgather(
+        np.asarray([len(vec)], dtype=np.int64)).max())
+    padded = np.full(cap + 1, -1, dtype=np.int64)
+    padded[0] = len(vec)
+    padded[1:1 + len(vec)] = vec
+    gathered = np.asarray(multihost_utils.process_allgather(padded))  # [P, cap+1]
+    return [row[1:1 + int(row[0])] for row in gathered]
+
+
 def exchange_record_counts(local_counts: np.ndarray, n_processes: int) -> np.ndarray:
     """All-gather each process's per-assembly record counts -> the GLOBAL
     per-assembly record count vector, concatenated in process order.
@@ -78,16 +94,7 @@ def exchange_record_counts(local_counts: np.ndarray, n_processes: int) -> np.nda
     """
     if n_processes <= 1:
         return np.asarray(local_counts, dtype=np.int64)
-    from jax.experimental import multihost_utils
-
-    # ragged -> padded exchange: (n_assemblies, then counts)
-    cap = int(multihost_utils.process_allgather(
-        np.asarray([len(local_counts)], dtype=np.int64)).max())
-    padded = np.full(cap + 1, -1, dtype=np.int64)
-    padded[0] = len(local_counts)
-    padded[1:1 + len(local_counts)] = local_counts
-    gathered = multihost_utils.process_allgather(padded)  # [P, cap+1]
-    parts = [row[1:1 + int(row[0])] for row in np.asarray(gathered)]
+    parts = _allgather_ragged_i64(local_counts)
     return np.concatenate(parts) if parts else np.zeros(0, np.int64)
 
 
@@ -100,19 +107,12 @@ def exchange_record_ids(
         return list(my_ids)
     import json
 
-    from jax.experimental import multihost_utils
-
-    payload = json.dumps([list(t) for t in my_ids]).encode()
-    cap = int(multihost_utils.process_allgather(
-        np.asarray([len(payload)], dtype=np.int64)).max())
-    buf = np.zeros(cap + 8, dtype=np.uint8)
-    buf[:8] = np.frombuffer(np.int64(len(payload)).tobytes(), np.uint8)
-    buf[8:8 + len(payload)] = np.frombuffer(payload, np.uint8)
-    gathered = np.asarray(multihost_utils.process_allgather(buf))  # [P, cap+8]
+    payload = np.frombuffer(
+        json.dumps([list(t) for t in my_ids]).encode(), dtype=np.uint8)
     out: list[tuple[str, ...]] = []
-    for row in gathered:
-        ln = int(np.frombuffer(row[:8].tobytes(), np.int64)[0])
-        out.extend(tuple(x) for x in json.loads(row[8:8 + ln].tobytes().decode()))
+    for part in _allgather_ragged_i64(payload.astype(np.int64)):
+        decoded = json.loads(part.astype(np.uint8).tobytes().decode())
+        out.extend(tuple(x) for x in decoded)
     return out
 
 
@@ -121,6 +121,7 @@ def build_multihost(
     kmerlen: int,
     windowsize: int,
     is_targets,
+    n_cpu: int = 1,
 ):
     """Multi-host distributed graph build: same output contract (and bytes)
     as `graph.build`, with genomes data-parallel across processes AND chips.
@@ -128,6 +129,8 @@ def build_multihost(
     Requires `initialize()` (or a single process, where this reduces to
     `build_distributed` over all local devices).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..io.fasta import parse_fasta_codes
     from .distributed import build_distributed_arrays, make_mesh
 
@@ -143,11 +146,13 @@ def build_multihost(
     my_counts = np.zeros(len(mine), dtype=np.int64)
     my_codes: list[np.ndarray] = []
     my_ids: list[tuple[str, ...]] = []
-    for j, i in enumerate(mine):
-        ids, codes_list = parse_fasta_codes(paths[i])
-        my_counts[j] = len(ids)
-        my_ids.append(tuple(ids))
-        my_codes.extend(codes_list)
+    workers = max(1, min(int(n_cpu), len(mine) or 1))
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        for j, (ids, codes_list) in enumerate(
+                ex.map(parse_fasta_codes, (paths[i] for i in mine))):
+            my_counts[j] = len(ids)
+            my_ids.append(tuple(ids))
+            my_codes.extend(codes_list)
 
     if nproc == 1:
         record_offsets = np.concatenate(([0], np.cumsum(my_counts))).astype(np.uintp)
