@@ -65,14 +65,14 @@ def main() -> None:
         kmers, *_ = build(paths, K, W, targets, n_cpu=8)
         warm = time.time() - t0
 
-        # median of 3: the relay's transfer bandwidth varies several-fold
+        # median of 5: the relay's transfer bandwidth varies several-fold
         # run to run (PERF.md), so a single sample is mostly relay noise
         times = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.time()
             kmers, nodes, edges, *_ = build(paths, K, W, targets, n_cpu=8)
             times.append(time.time() - t0)
-        dt = sorted(times)[1]
+        dt = sorted(times)[2]
 
     n_min = len(kmers)
     rate = n_min / dt

@@ -155,7 +155,59 @@ def _bottom_k_kernel_impl(codes, k: int, sketchsize: int):
 
     bad = _window_any(codes > 3, k)
     valid = (~bad) & (iota <= jnp.int32(n - k))
-    hs = jnp.sort(jnp.where(valid, canon, u64(M64)))
+    return _bottom_k_tail(canon, valid, sketchsize)
+
+
+def _bottom_k_spaced_impl(codes, pattern: str, sketchsize: int):
+    """Spaced-seed variant: bottom-k distinct spaced-seed canonical hashes
+    (`ops/spaced.py` closed form: prefix-XOR + per-care-block interval XORs).
+    Same separator/stream contract as `_bottom_k_kernel_impl`."""
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.hashing import SEEDS, SEEDS_COMP
+    from .ops.spaced import _srol_by, parse_seed
+
+    u64 = jnp.uint64
+    _, blocks = parse_seed(pattern)
+    k = len(pattern)
+    n = codes.shape[0]
+
+    p = jnp.arange(n, dtype=jnp.int64)
+    ftab = jnp.asarray(np.array(SEEDS + (0,), np.uint64))
+    rtab = jnp.asarray(np.array(SEEDS_COMP + (0,), np.uint64))
+    ci = jnp.minimum(codes, 4).astype(jnp.int32)
+    fwd_pre = _srol_by(ftab[ci], (-p) % 1023)
+    rev_pre = _srol_by(rtab[ci], p % 1023)
+    zero = jnp.zeros(1, u64)
+    xf = jnp.concatenate([zero, jax.lax.associative_scan(jnp.bitwise_xor, fwd_pre)])
+    xr = jnp.concatenate([zero, jax.lax.associative_scan(jnp.bitwise_xor, rev_pre)])
+    inv = jnp.concatenate([
+        jnp.zeros(1, jnp.int32), jnp.cumsum((codes > 3).astype(jnp.int32))])
+
+    n_win = n - k + 1
+    i = jnp.arange(n_win, dtype=jnp.int64)
+    hf = jnp.zeros(n_win, u64)
+    hr = jnp.zeros(n_win, u64)
+    bad = jnp.zeros(n_win, jnp.int32)
+    for a, b in blocks:
+        hf = hf ^ xf[i + b] ^ xf[i + a]
+        hr = hr ^ xr[i + b] ^ xr[i + a]
+        bad = bad + inv[i + b] - inv[i + a]
+    canon = _srol_by(hf, (i + (k - 1)) % 1023) + _srol_by(hr, (-i) % 1023)
+    valid = bad == 0
+    return _bottom_k_tail(canon, valid, sketchsize)
+
+
+def _bottom_k_tail(vals, valid, sketchsize: int):
+    """(sorted bottom-k of the distinct valid values, n_distinct)."""
+    import jax.numpy as jnp
+
+    from .ops.hashing import M64
+
+    u64 = jnp.uint64
+    n = vals.shape[0]
+    hs = jnp.sort(jnp.where(valid, vals, u64(M64)))
     prev = jnp.concatenate([hs[:1] ^ u64(1), hs[:-1]])
     new = (hs != prev) & (hs != u64(M64))
     rank = jnp.cumsum(new.astype(jnp.int32))
@@ -167,9 +219,12 @@ def _bottom_k_kernel_impl(codes, k: int, sketchsize: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _bottom_k_kernel(k: int, sketchsize: int):
+def _bottom_k_kernel(k: int, sketchsize: int, seed_pattern: str | None = None):
     import jax
 
+    if seed_pattern is not None:
+        return jax.jit(functools.partial(
+            _bottom_k_spaced_impl, pattern=seed_pattern, sketchsize=sketchsize))
     return jax.jit(
         functools.partial(_bottom_k_kernel_impl, k=k, sketchsize=sketchsize)
     )
@@ -179,23 +234,28 @@ def device_sketches(
     record_codes_by_assembly: list[list[np.ndarray]],
     kmerlen: int,
     sketchsize: int = 1000,
+    seed_pattern: str | None = None,
 ) -> list[np.ndarray]:
     """Bottom-k MinHash sketch per assembly, computed on device.
 
     All assemblies share ONE padded stream shape (the run's largest, rounded
     to a power of two), so the whole pass compiles exactly one program.
     Host work per assembly is O(sketchsize): trimming the returned sketch.
+    ``seed_pattern`` switches from contiguous k-mers to spaced-seed hashing
+    (`ops/spaced.py`; the pattern's length replaces ``kmerlen``).
     """
     import jax.numpy as jnp
 
     from .engine.minimizer import next_pow2
 
+    if seed_pattern is not None:
+        kmerlen = len(seed_pattern)
     budgets = [
         sum(len(c) for c in recs) + max(0, len(recs) - 1)
         for recs in record_codes_by_assembly
     ]
     n = max(1 << 14, next_pow2(max(budgets, default=1)))
-    kernel = _bottom_k_kernel(kmerlen, sketchsize)
+    kernel = _bottom_k_kernel(kmerlen, sketchsize, seed_pattern)
 
     sketches: list[np.ndarray] = []
     for recs, used in zip(record_codes_by_assembly, budgets):
