@@ -230,6 +230,30 @@ def _bottom_k_kernel(k: int, sketchsize: int, seed_pattern: str | None = None):
     )
 
 
+def _separator_run(seed_pattern: str | None) -> int:
+    """Inter-record separator run length that guarantees no window hashes
+    bases from two records.
+
+    For contiguous k-mers every window position is a care position, so ONE
+    255 byte invalidates every window spanning it. For a spaced seed, a
+    separator landing on a don't-care ('0') position does NOT invalidate the
+    window, so a single separator lets windows straddle the junction and hash
+    a phantom cross-record k-mer. A run one longer than the pattern's longest
+    zero-run closes this: patterns start and end with '1', so a window that
+    overlaps the run's edge has a care position (index 0 or k-1) on a
+    separator, and a window containing the whole run cannot fit it inside
+    any single zero-gap.
+    """
+    if seed_pattern is None:
+        return 1
+    from .ops.spaced import parse_seed
+
+    _, blocks = parse_seed(seed_pattern)
+    max_gap = max(
+        (b[0] - a[1] for a, b in zip(blocks, blocks[1:])), default=0)
+    return max_gap + 1
+
+
 def device_sketches(
     record_codes_by_assembly: list[list[np.ndarray]],
     kmerlen: int,
@@ -250,8 +274,9 @@ def device_sketches(
 
     if seed_pattern is not None:
         kmerlen = len(seed_pattern)
+    sep = _separator_run(seed_pattern)
     budgets = [
-        sum(len(c) for c in recs) + max(0, len(recs) - 1)
+        sum(len(c) for c in recs) + max(0, len(recs) - 1) * sep
         for recs in record_codes_by_assembly
     ]
     n = max(1 << 14, next_pow2(max(budgets, default=1)))
@@ -264,9 +289,9 @@ def device_sketches(
             continue
         stream = np.full(n, 255, dtype=np.uint8)
         off = 0
-        for c in recs:  # 255 separators between records (see kernel docstring)
+        for c in recs:  # 255-run separators between records (`_separator_run`)
             stream[off:off + len(c)] = c
-            off += len(c) + 1
+            off += len(c) + sep
         bottom, n_distinct = kernel(jnp.asarray(stream))
         sketches.append(np.asarray(bottom)[: int(n_distinct)])
     return sketches

@@ -606,6 +606,7 @@ def scan_record_sharded(
     mesh: Mesh,
     rec_idx: int = 0,
     use_pallas: bool | None = None,
+    record_offsets=None,
 ):
     """Scan ONE record split across the mesh with halo'd blocks.
 
@@ -614,12 +615,23 @@ def scan_record_sharded(
     k-mers; the cross-block emission state is one scalar per block, so the
     whole dependency chain is ONE all_gather of (pos, hash) pairs.
 
+    ``record_offsets`` (cumulative record counts per assembly, as in
+    `engine/hybrid.scan_record_blocks`) resolves the record's true assembly
+    for the junction bridge pairs; without it bridges are attributed to
+    assembly 0, which is only correct for single-assembly inputs.
+
     Returns ((oh, pos, rec) trimmed scan-order arrays, bridge_pairs) --
     identical to the single-chip scan of the whole record.
     """
     import os
 
     from ..engine.hybrid import _record_block_plan
+
+    if record_offsets is not None:
+        off_h = np.asarray(record_offsets, dtype=np.int64)
+        asm_idx = int(np.searchsorted(off_h, rec_idx, side='right') - 1)
+    else:
+        asm_idx = 0
 
     if use_pallas is None:
         mode = os.environ.get('SEQWIN_TPU_PHASE1', 'auto')
@@ -695,7 +707,8 @@ def scan_record_sharded(
     out_pos = np.concatenate([pos[d, :n_keep[d]] for d in range(n_dev)]).astype(np.uint32)
     out_rec = np.full(len(out_oh), rec_idx, dtype=np.int32)
     bridges = [
-        (int(min(carry_oh[d], first_oh[d])), int(max(carry_oh[d], first_oh[d])), 0)
+        (int(min(carry_oh[d], first_oh[d])),
+         int(max(carry_oh[d], first_oh[d])), asm_idx)
         for d in range(n_dev) if has_bridge[d]
     ]
     return (out_oh, out_pos, out_rec), bridges

@@ -66,8 +66,15 @@ def test_short_sequence_and_all_invalid():
     assert int(cnt) == 0
 
 
-def test_device_sketch_with_spaced_seed():
-    """Spaced-seed device MinHash: bottom-k of the distinct spaced hashes."""
+@pytest.mark.parametrize('sketchsize', [64, 4096])
+def test_device_sketch_with_spaced_seed(sketchsize):
+    """Spaced-seed device MinHash: bottom-k of the distinct spaced hashes.
+
+    The 4096 case is a FULL-size sketch (>= total windows), so a single
+    phantom cross-record hash fails the equality -- it pins the separator-run
+    fix in `mash._separator_run` (a lone 255 on a don't-care position used to
+    let windows straddle record junctions).
+    """
     from seqwin_tpu.mash import device_sketches
 
     rng = np.random.default_rng(9)
@@ -77,12 +84,30 @@ def test_device_sketch_with_spaced_seed():
          rng.integers(0, 4, size=300).astype(np.uint8)],
         [rng.integers(0, 4, size=900).astype(np.uint8)],
     ]
-    sketches = device_sketches(recs, kmerlen=0, sketchsize=64,
+    sketches = device_sketches(recs, kmerlen=0, sketchsize=sketchsize,
                                seed_pattern=pattern)
     for recs_a, sk in zip(recs, sketches):
         want = set()
         for c in recs_a:
             h, _ = spaced_hashes_host(c, pattern, n_hashes=1)
             want.update(h[:, 0].tolist())
-        expected = np.array(sorted(want)[:64], dtype=np.uint64)
+        expected = np.array(sorted(want)[:sketchsize], dtype=np.uint64)
         np.testing.assert_array_equal(sk, expected)
+
+
+def test_device_sketch_separator_runs():
+    """Many short records with a seed whose zero-gaps exceed 1: the sketch
+    must contain exactly the per-record hash union, never junction hashes."""
+    from seqwin_tpu.mash import device_sketches
+
+    rng = np.random.default_rng(17)
+    pattern = '110000000011'
+    recs = [[rng.integers(0, 4, size=40).astype(np.uint8) for _ in range(8)]]
+    sketches = device_sketches(recs, kmerlen=0, sketchsize=1024,
+                               seed_pattern=pattern)
+    want = set()
+    for c in recs[0]:
+        h, _ = spaced_hashes_host(c, pattern, n_hashes=1)
+        want.update(h[:, 0].tolist())
+    np.testing.assert_array_equal(
+        sketches[0], np.array(sorted(want), dtype=np.uint64))
