@@ -78,6 +78,17 @@ def build_parser() -> argparse.ArgumentParser:
                         help='Compute backend for the graph build (numpy = '
                              'vectorized host reference; oracle = slow '
                              'per-position reference).')
+    g_misc.add_argument('--devices', type=int, default=1,
+                        help='Devices for the distributed graph build: 0 = '
+                             'all local devices, 1 = single device, N>1 = '
+                             'an N-device mesh.')
+    g_misc.add_argument('--sketch-mode', default='auto',
+                        choices=('auto', 'device', 'minimizer'),
+                        help='Jaccard estimator for the penalty threshold '
+                             '(device = on-chip bottom-k MinHash, mash-free).')
+    g_misc.add_argument('--seed-pattern', default=None,
+                        help="Spaced-seed pattern ('1'/'0' string) for the "
+                             'on-device sketches; default contiguous k-mers.')
     g_misc.add_argument('--version', action='version', version=f'seqwin-tpu v{__version__}',
                         help='Show version and exit.')
     g_misc.add_argument('--help', '-h', action='help', help='Show this message and exit.')
@@ -128,6 +139,9 @@ def main(argv: list[str] | None = None) -> int:
         n_cpu=args.n_cpu,
         low_memory=args.low_memory,
         device_backend=args.backend,
+        devices=args.devices,
+        sketch_mode=args.sketch_mode,
+        seed_pattern=args.seed_pattern,
     )
     run(config)
     return 0

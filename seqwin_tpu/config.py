@@ -107,6 +107,15 @@ class Config(BaseModel):
     #   'device'    -- on-device bottom-k MinHash sketches (mash-free)
     #   'minimizer' -- force the minimizer-sketch estimator
     sketch_mode: str = 'auto'
+    # Spaced-seed pattern ('1'/'0' string, care positions = '1') for the
+    # on-device sketches; None = contiguous k-mers. Only meaningful with
+    # sketch_mode='device' (`ops/spaced.py`, `mash.device_sketches`).
+    seed_pattern: str | None = None
+    # Number of devices for the distributed graph build: 0 = all local
+    # devices, 1 = single-device engine, N>1 = shard_map over an N-device
+    # mesh (`parallel/distributed.py`). The reference's `--threads` analog
+    # at chip granularity.
+    devices: int = 1
     # When set, capture a jax.profiler trace of the run into this directory
     # (viewable with TensorBoard / xprof).
     profile_dir: Path | None = None
@@ -151,6 +160,15 @@ class Config(BaseModel):
             raise ValueError('stringency must be between [0, 10]')
         if (self.max_len is not None) and (self.max_len <= self.min_len):
             raise ValueError('max_len must be greater than min_len')
+        if self.seed_pattern is not None:
+            if (not self.seed_pattern
+                    or any(c not in '01' for c in self.seed_pattern)
+                    or self.seed_pattern[0] != '1'
+                    or self.seed_pattern[-1] != '1'):
+                raise ValueError(
+                    "seed_pattern must be a '1'/'0' string starting and ending with '1'")
+        if self.devices < 0:
+            raise ValueError('devices must be >= 0 (0 = all local devices)')
         return self
 
     model_config = {

@@ -323,12 +323,208 @@ def _split_outputs(buf: np.ndarray, m: int, n_nodes: int, n_edges: int,
     return kmers, nodes, edges
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _count_weight_gt(e_weight, th):
+    """#edges with weight > th (padding rows have weight 0, th >= 0)."""
+    return jnp.sum((e_weight > th).astype(i32))
+
+
+@functools.partial(jax.jit, static_argnames=('out_cap', 'compact'))
+def _filter_edges_gather(e_first, e_second, e_weight, th, out_cap: int,
+                         compact: bool):
+    """Gather edges with weight > th into an edge transfer buffer
+    (compact u16-weight column blocks, or the interleaved EDGE_DTYPE layout).
+
+    Survivor order is the input order (first, second) ascending -- exactly
+    the reference's `edges[edges['weight'] > th]` row order
+    (`/root/reference/src/seqwin/kmers.py:171-211`). ``th`` is a TRACED
+    scalar, so one compiled program serves every threshold.
+    """
+    n = e_first.shape[0]
+    idx = jnp.arange(n, dtype=i32)
+    sel, _ = _extract_ascending(e_weight > th, idx, out_cap)
+    live = sel >= 0
+    safe = jnp.clip(sel, 0, n - 1)
+    z64 = jnp.uint64(0)
+    g_first = jnp.where(live, e_first[safe], z64)
+    g_second = jnp.where(live, e_second[safe], z64)
+    g_weight = jnp.where(live, e_weight[safe], i32(0))
+    if compact:
+        return _pack_edges_compact(g_first, g_second, g_weight, out_cap)
+    ew = jnp.concatenate([
+        _w2(g_first), _w2(g_second), _w2(g_weight.astype(jnp.uint64)),
+    ], axis=1)
+    return ew.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=('out_cap',))
+def _compact_kmers_gather(s_pos, s_rec, n_starts, n_stops, keep, out_cap: int):
+    """Gather the k-mer entries of kept nodes into a KMER_DTYPE-layout buffer.
+
+    Device analog of the host segment gather in `graph.build.filter_kmers`
+    (itself the vectorized re-design of the reference's sorted-intersection
+    compaction, `/root/reference/cpp/src/seqwin/helpers.cpp:426-488`): kept
+    segments stay in node (hash) order, entries stay in stream scan order, so
+    the result is byte-identical to compacting on host -- but only the
+    survivors (~1% at reference scale) ever cross the wire.
+    """
+    sizes = jnp.where(keep, n_stops - n_starts, i32(0))
+    new_stops = jnp.cumsum(sizes)
+    total = new_stops[-1]
+    j = jnp.arange(out_cap, dtype=i32)
+    seg = jnp.searchsorted(new_stops, j, side='right')
+    seg_c = jnp.clip(seg, 0, n_starts.shape[0] - 1)
+    base = new_stops[seg_c] - sizes[seg_c]
+    src = jnp.clip(n_starts[seg_c] + (j - base), 0, s_pos.shape[0] - 1)
+    livej = j < total
+    u32 = jnp.uint32
+    kw = jnp.stack([
+        jnp.where(livej, s_pos[src].astype(u32), u32(0)),
+        jnp.where(livej, s_rec[src].astype(u32), u32(0)),
+    ], axis=1)
+    return kw.reshape(-1)
+
+
+def _quantized_cap(count: int, hard_cap: int, floor: int = 1 << 12) -> int:
+    from .minimizer import next_pow2
+
+    return min(max(floor, next_pow2(max(count, 1))), max(hard_cap, 1))
+
+
+class DeviceGraph:
+    """Deferred aggregation result: nodes on host, the grouped k-mer stream
+    and merged edges DEVICE-RESIDENT.
+
+    The reference ships the full kmers/edges arrays to the host and then
+    discards ~99% of the k-mers in `filter()` (`seqwin.log:22-33`: 61,907 of
+    7.94 M kept). Over the TPU relay that discarded traffic IS the build
+    bottleneck (PERF.md wire math), so the pipeline asks for exactly what it
+    needs: full nodes at build time (penalty/threshold math is host float64),
+    weight-filtered edges once the threshold is known, and the compacted
+    k-mers of the kept nodes after subgraph search. `materialize()` preserves
+    the full-transfer behavior for `--no-filter` / library users.
+    """
+
+    def __init__(self, nodes, s_pos, s_rec, n_starts, n_stops, n_tar, n_neg,
+                 e_first, e_second, e_weight, m, n_nodes, n_edges,
+                 mq, nq, compact):
+        self.nodes = nodes
+        self._s_pos, self._s_rec = s_pos, s_rec
+        self._n_starts, self._n_stops = n_starts, n_stops
+        self._n_tar, self._n_neg = n_tar, n_neg
+        self._e_first, self._e_second, self._e_weight = e_first, e_second, e_weight
+        self.n_kmers = m
+        self.n_nodes = n_nodes
+        self.n_edges = n_edges
+        self._mq, self._nq = mq, nq
+        self._compact = compact
+        self.record_codes = None  # parsed codes, kept only on request
+
+    def materialize(self) -> tuple[np.ndarray, np.ndarray]:
+        """Full (kmers, edges) host arrays -- the non-deferred transfer.
+        (Nodes already live on host; a minimal 4k node block rides along so
+        the packed layout stays shared with the build-time pack programs.)"""
+        nq = 1 << 12  # node_cap floor; node columns are >= this by construction
+        pack_kn = _pack_kmers_nodes_compact if self._compact else _pack_kmers_nodes
+        buf_kn = np.asarray(pack_kn(
+            self._s_pos, self._s_rec,
+            jnp.zeros(nq, jnp.uint64), self._n_starts, self._n_stops,
+            self._n_tar, self._n_neg, self._mq, nq,
+        ))
+        if self._compact:
+            kmers, _ = _split_kmers_nodes_compact(
+                buf_kn, self.n_kmers, 0, self._mq, nq)
+        else:
+            kmers, _ = _split_kmers_nodes(
+                buf_kn, self.n_kmers, 0, self._mq, nq)
+        return kmers, self.materialize_edges()
+
+    def materialize_edges(self) -> np.ndarray:
+        eq = _quantized_cap(self.n_edges, self._e_first.shape[0])
+        buf_e = np.asarray(_pack_edges(
+            self._e_first, self._e_second, self._e_weight, eq))
+        return _split_edges(buf_e, self.n_edges, eq)
+
+    def filter_edges(self, weight_th) -> np.ndarray:
+        """EDGE_DTYPE survivors of ``weight > floor(weight_th)``; only they
+        cross the wire."""
+        th = i32(int(np.uintp(weight_th)))
+        cnt = int(_count_weight_gt(self._e_weight, th))
+        out_cap = _quantized_cap(cnt, self._e_first.shape[0])
+        compact = self._compact and out_cap % 2 == 0
+        buf = np.asarray(_filter_edges_gather(
+            self._e_first, self._e_second, self._e_weight, th, out_cap,
+            compact))
+        if compact:
+            return _split_edges_compact(buf, cnt, out_cap)
+        return buf.view(EDGE_DTYPE)[:cnt]
+
+    def compact_kmers(self, keep: np.ndarray, total: int) -> np.ndarray:
+        """KMER_DTYPE entries of nodes flagged in ``keep`` (bool[n_nodes]),
+        segments in node order, entries in scan order -- byte-identical to
+        the host `filter_kmers` gather."""
+        node_cap = self._n_starts.shape[0]
+        keep_pad = np.zeros(node_cap, dtype=bool)
+        keep_pad[:self.n_nodes] = keep
+        out_cap = _quantized_cap(total, self._s_pos.shape[0])
+        buf = np.asarray(_compact_kmers_gather(
+            self._s_pos, self._s_rec, self._n_starts, self._n_stops,
+            jnp.asarray(keep_pad), out_cap))
+        return buf.view(KMER_DTYPE)[:total]
+
+    def release(self) -> None:
+        """Drop the device references (frees HBM once JAX GCs the buffers)."""
+        self._s_pos = self._s_rec = None
+        self._n_starts = self._n_stops = self._n_tar = self._n_neg = None
+        self._e_first = self._e_second = self._e_weight = None
+        self.record_codes = None
+
+
+class HostGraph:
+    """Host-array implementation of the `DeviceGraph` interface, wrapping the
+    materialized (kmers, nodes, edges) of the device-free backends
+    (numpy/oracle), the fused one-program build, and the distributed paths."""
+
+    def __init__(self, kmers: np.ndarray, nodes: np.ndarray, edges: np.ndarray):
+        self.nodes = nodes
+        self._kmers = kmers
+        self._edges = edges
+        self.n_kmers = len(kmers)
+        self.n_nodes = len(nodes)
+        self.n_edges = len(edges)
+        self.record_codes = None
+
+    def materialize(self) -> tuple[np.ndarray, np.ndarray]:
+        return self._kmers, self._edges
+
+    def materialize_edges(self) -> np.ndarray:
+        return self._edges
+
+    def filter_edges(self, weight_th) -> np.ndarray:
+        return self._edges[self._edges['weight'] > np.uintp(weight_th)]
+
+    def compact_kmers(self, keep: np.ndarray, total: int) -> np.ndarray:
+        kept = self.nodes[keep]
+        sizes = (kept['stop'] - kept['start']).astype(np.int64)
+        new_stops = np.cumsum(sizes)
+        if total == 0:
+            return np.zeros(0, dtype=KMER_DTYPE)
+        seg_idx = (np.arange(total, dtype=np.int64)
+                   + np.repeat(kept['start'].astype(np.int64) - (new_stops - sizes), sizes))
+        return self._kmers[seg_idx]
+
+    def release(self) -> None:
+        self._kmers = self._edges = None
+        self.record_codes = None
+
+
 def aggregate_device(
     chunks,
     record_offsets: np.ndarray,
     is_target: np.ndarray,
     extra_pairs=None,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    defer: bool = False,
+):
     """Aggregate device-resident chunk results into (kmers, nodes, edges).
 
     Args:
@@ -341,12 +537,15 @@ def aggregate_device(
         is_target: bool[A].
         extra_pairs: optional [(u, v, assembly_idx), ...] out-of-stream edge
             pairs (block junctions).
+        defer: return a `DeviceGraph` (nodes on host, kmers/edges
+            device-resident) instead of the (kmers, nodes, edges) tuple.
     """
     chunks = [c for c in chunks if c[0] is not None]
     counts = [int(c[3]) for c in chunks]
     m = sum(counts)
     if m == 0:
-        return (np.zeros(0, KMER_DTYPE), np.zeros(0, NODE_DTYPE), np.zeros(0, EDGE_DTYPE))
+        empty = (np.zeros(0, KMER_DTYPE), np.zeros(0, NODE_DTYPE), np.zeros(0, EDGE_DTYPE))
+        return HostGraph(empty[0], empty[1], empty[2]) if defer else empty
 
     have_asm = all(len(c) >= 5 and c[4] is not None for c in chunks)
     offs_h = np.concatenate(([0], np.cumsum(counts[:-1]))).astype(np.int32)
@@ -414,8 +613,11 @@ def aggregate_device(
     mq = min(-(-max(m, 1) // q) * q, len(s_pos))
     nq = min(-(-max(n_nodes, 1) // q) * q, node_cap)
     pack_kn = _pack_kmers_nodes_compact if compact else _pack_kmers_nodes
+    # deferred mode ships the NODE columns only (mq=0); the k-mer stream and
+    # the edges stay on device inside the returned DeviceGraph
     buf_kn_dev = pack_kn(
-        s_pos, s_rec, node_hash, n_starts, n_stops, n_tar, n_neg, mq, nq)
+        s_pos, s_rec, node_hash, n_starts, n_stops, n_tar, n_neg,
+        0 if defer else mq, nq)
 
     pair_max = (n_padded - 1 if n_padded > 1 else 1) + xcap
     edge_cap = min(node_cap * 4, pair_max)
@@ -430,6 +632,18 @@ def aggregate_device(
         edge_cap = min(1 << (n_edges - 1).bit_length(), pair_max)
         e_first, e_second, e_weight, n_edges_dev = _merge_edges(
             oh, rec, asm, edge_cap, xu, xv, xa, i32(xn)
+        )
+
+    if defer:
+        if compact:
+            _, nodes = _split_kmers_nodes_compact(buf_kn, 0, n_nodes, 0, nq)
+        else:
+            _, nodes = _split_kmers_nodes(buf_kn, 0, n_nodes, 0, nq)
+            if not nodes.flags.writeable:
+                nodes = nodes.copy()
+        return DeviceGraph(
+            nodes, s_pos, s_rec, n_starts, n_stops, n_tar, n_neg,
+            e_first, e_second, e_weight, m, n_nodes, n_edges, mq, nq, compact,
         )
 
     eq = min(-(-max(n_edges, 1) // q) * q, edge_cap)

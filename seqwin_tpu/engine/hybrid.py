@@ -148,6 +148,31 @@ def scan_phase1(codes_aug, k: int, w: int):
 _EMIT_ROW = 1 << 13  # row width of the two-level emission extraction
 
 
+def _emission_rows(z):
+    """Row-blocked emission flags for a (patched) z stream.
+
+    The emission rule -- candidate z strictly above the running max of all
+    previous z (`/root/reference/cpp/vendor/btllib/minimizer.cpp:44-48`) --
+    evaluated as a per-row cummax plus one exclusive cummax over row maxima.
+    Shared by `scan_phase2` and the distributed count pre-pass
+    (`parallel/distributed.py::_count_step`) so both see identical flags.
+
+    Returns (zr [T, B], emit [T, B]).
+    """
+    n = z.shape[0]
+    B = _EMIT_ROW
+    pad = (-n) % B
+    z_p = jnp.concatenate([z, jnp.full((pad,), i32(-1))]) if pad else z
+    T = (n + pad) // B
+    zr = z_p.reshape(T, B)
+    cm = jax.lax.cummax(zr, axis=1)
+    cmx = jnp.concatenate([jnp.full((T, 1), i32(-2)), cm[:, :-1]], axis=1)
+    carry = jnp.concatenate(
+        [jnp.full((1,), i32(-2)), jax.lax.cummax(cm[:, -1])[:-1]])
+    emit = (zr >= 0) & (zr > cmx) & (zr > carry[:, None])
+    return zr, emit
+
+
 @functools.partial(jax.jit, static_argnames=('emit_cap',))
 def scan_phase2(z_clean, c_lo, c_hi, patch_pos, patch_z, starts, mult, rec_base,
                 asm_tab, emit_cap: int):
@@ -186,18 +211,7 @@ def scan_phase2(z_clean, c_lo, c_hi, patch_pos, patch_z, starts, mult, rec_base,
     z = z_clean.at[patch_pos].set(patch_z, mode='drop')
 
     B = _EMIT_ROW
-    pad = (-n) % B
-    if pad:
-        z_p = jnp.concatenate([z, jnp.full((pad,), i32(-1))])
-    else:
-        z_p = z
-    T = (n + pad) // B
-    zr = z_p.reshape(T, B)
-    cm = jax.lax.cummax(zr, axis=1)
-    cmx = jnp.concatenate([jnp.full((T, 1), i32(-2)), cm[:, :-1]], axis=1)
-    carry = jnp.concatenate(
-        [jnp.full((1,), i32(-2)), jax.lax.cummax(cm[:, -1])[:-1]])
-    emit = (zr >= 0) & (zr > cmx) & (zr > carry[:, None])
+    zr, emit = _emission_rows(z)
     row_cnt = jnp.sum(emit.astype(i32), axis=1)
     count = jnp.sum(row_cnt)
 

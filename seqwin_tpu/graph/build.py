@@ -43,6 +43,7 @@ def build(
     n_cpu: int = 1,
     low_memory: bool = False,
     backend: str = 'auto',
+    devices: int = 1,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, list[tuple[str, ...]]]:
     """Build a minimizer graph from assembly FASTA files.
 
@@ -58,6 +59,63 @@ def build(
         - record_offsets: uintp[A+1] cumulative record counts per assembly;
         - record_ids: per assembly, tuple of FASTA record ids.
     """
+    return _build_impl(
+        assembly_paths, kmerlen, windowsize, is_targets, n_cpu=n_cpu,
+        low_memory=low_memory, backend=backend, defer=False, devices=devices,
+    )
+
+
+def build_deferred(
+    assembly_paths: Iterable[Path | str],
+    kmerlen: int,
+    windowsize: int,
+    is_targets: Iterable[bool],
+    n_cpu: int = 1,
+    low_memory: bool = False,
+    backend: str = 'auto',
+    keep_codes: bool = False,
+    devices: int = 1,
+):
+    """`build` variant returning (graph, record_offsets, record_ids) where
+    ``graph`` keeps the k-mer stream and edges DEVICE-RESIDENT
+    (`engine.aggregate.DeviceGraph`; `.nodes` is on host). The pipeline uses
+    this to transfer only what `filter()` keeps -- the reference ships and
+    then discards ~99% of the k-mers array (`helpers.cpp:426-488` +
+    `seqwin.log:22-33`), and over the TPU relay that traffic is the build
+    bottleneck. `graph.materialize()` recovers the full-transfer contract.
+
+    ``keep_codes`` retains the parsed per-assembly base codes on
+    ``graph.record_codes`` (RAM = dataset size) so downstream consumers --
+    the device MinHash sketcher -- never re-parse the FASTAs."""
+    return _build_impl(
+        assembly_paths, kmerlen, windowsize, is_targets, n_cpu=n_cpu,
+        low_memory=low_memory, backend=backend, defer=True,
+        keep_codes=keep_codes, devices=devices,
+    )
+
+
+def _as_deferred(res, defer: bool):
+    """Wrap a materialized 5-tuple build result for `build_deferred` callers."""
+    if not defer:
+        return res
+    from ..engine.aggregate import HostGraph
+
+    kmers, nodes, edges, offsets, record_ids = res
+    return HostGraph(kmers, nodes, edges), offsets, record_ids
+
+
+def _build_impl(
+    assembly_paths,
+    kmerlen: int,
+    windowsize: int,
+    is_targets,
+    n_cpu: int,
+    low_memory: bool,
+    backend: str,
+    defer: bool,
+    keep_codes: bool = False,
+    devices: int = 1,
+):
     from time import time as _now
 
     paths = [str(p) for p in assembly_paths]
@@ -68,8 +126,12 @@ def build(
         raise ValueError('Number of input assemblies exceeds uint32 range')
 
     if backend in ('numpy', 'oracle'):
-        return _build_numpy(paths, kmerlen, windowsize, targets, n_cpu,
-                            oracle=backend == 'oracle')
+        *res5, seqs = _build_numpy(paths, kmerlen, windowsize, targets, n_cpu,
+                                   oracle=backend == 'oracle')
+        out = _as_deferred(tuple(res5), defer)
+        if defer and keep_codes:
+            out[0].record_codes = seqs
+        return out
 
     # --- chunked device scan config ---
     import os
@@ -89,8 +151,31 @@ def build(
         if mh not in ('', '1'):
             coord, nproc_s, pid_s = mh.rsplit(',', 2)
             multihost.initialize(coord, int(nproc_s), int(pid_s))
-        return multihost.build_multihost(
-            paths, kmerlen, windowsize, targets, n_cpu=n_cpu)
+        return _as_deferred(multihost.build_multihost(
+            paths, kmerlen, windowsize, targets, n_cpu=n_cpu), defer)
+
+    # multi-device (single-host) build: shard_map over an N-device mesh.
+    # devices == 0 -> all local devices (the reference's `--threads` analog
+    # at chip granularity, `/root/reference/src/seqwin/cli.py`).
+    if devices != 1:
+        import jax
+
+        from ..parallel.distributed import build_distributed, make_mesh
+
+        n_avail = len(jax.devices())
+        n_dev = n_avail if devices == 0 else min(int(devices), n_avail)
+        if devices > n_avail:
+            logger.warning(
+                f'Requested {devices} devices but only {n_avail} are '
+                f'available; using {n_dev}')
+        if n_dev > 1:
+            if low_memory:
+                logger.warning(
+                    'low_memory is not supported by the distributed build '
+                    'path; ignoring')
+            return _as_deferred(build_distributed(
+                paths, kmerlen, windowsize, targets,
+                mesh=make_mesh(n_dev), n_cpu=n_cpu), defer)
 
     use_sort_engine = os.environ.get('SEQWIN_TPU_SCAN', 'hybrid') == 'sort'
     chunk_budget = LOW_MEMORY_CHUNK_BASES if low_memory else int(
@@ -109,6 +194,7 @@ def build(
     record_ids: list[tuple[str, ...]] = []
     record_offsets = [0]
     total_bases = 0
+    kept_codes: list[list[np.ndarray]] | None = [] if keep_codes else None
 
     def take_parsed(pi, ids, codes_list):
         nonlocal total_bases
@@ -122,6 +208,8 @@ def build(
         record_offsets.append(record_offsets[-1] + len(ids))
         if record_offsets[-1] > U32_MAX:
             raise ValueError('Total number of FASTA records exceeds uint32 range')
+        if kept_codes is not None:
+            kept_codes.append(codes_list)
 
     # fused one-program path: all chunk scans + the merge in a single device
     # program (engine/fused.py) -- immune to per-program relay overhead.
@@ -152,10 +240,15 @@ def build(
             )
             if res is not None:
                 logger.debug(f'build: fused total {_now() - _t0:.2f}s')
-                return (*res, offsets, record_ids)
+                out = _as_deferred((*res, offsets, record_ids), defer)
+                if defer and keep_codes:
+                    out[0].record_codes = kept_codes
+                return out
             logger.debug('build: fused fell back to per-chunk path')
         parsed_iter = iter(parsed)
         record_ids, record_offsets, total_bases = [], [0], 0
+        if kept_codes is not None:
+            kept_codes = []
 
     chunk_results = []  # (e_oh, e_pos, e_rec, count) device arrays
     chunk_inputs = []   # (record list, rec_base) for overflow re-runs
@@ -310,11 +403,16 @@ def build(
     from ..engine.aggregate import aggregate_device
 
     _t0 = _now()
-    kmers, nodes, edges = aggregate_device(
+    res = aggregate_device(
         chunk_results, offsets, np.asarray(targets, dtype=bool),
-        extra_pairs=bridge_pairs or None,
+        extra_pairs=bridge_pairs or None, defer=defer,
     )
     logger.debug(f'build: aggregate {_now() - _t0:.2f}s')
+    if defer:
+        if keep_codes:
+            res.record_codes = kept_codes
+        return res, offsets, record_ids
+    kmers, nodes, edges = res
     return kmers, nodes, edges, offsets, record_ids
 
 
@@ -358,7 +456,29 @@ def _build_numpy(paths, kmerlen, windowsize, targets, n_cpu, oracle=False):
         record_ids.append(tuple(ids))
         record_seqs.append(codes_list)
     kmers, nodes, edges, offsets = build_graph(record_seqs, kmerlen, windowsize, targets)
-    return kmers, nodes, edges, offsets, record_ids
+    return kmers, nodes, edges, offsets, record_ids, record_seqs
+
+
+def kept_node_layout(
+    nodes: np.ndarray, used_hashes
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Which nodes survive ``used_hashes`` and where their k-mers land.
+
+    Returns (keep bool[len(nodes)], out_nodes with rebased start/stop,
+    total kept k-mer entries). Shared by the host compaction below and the
+    device-resident compaction (`engine.aggregate.DeviceGraph.compact_kmers`).
+    """
+    used = np.fromiter((int(h) for h in used_hashes), dtype=np.uint64)
+    used.sort()
+    keep = np.isin(nodes['hash'], used, assume_unique=False)
+    kept_nodes = nodes[keep]
+    sizes = (kept_nodes['stop'] - kept_nodes['start']).astype(np.int64)
+    new_stops = np.cumsum(sizes)
+    out_nodes = kept_nodes.copy()
+    out_nodes['start'] = new_stops - sizes
+    out_nodes['stop'] = new_stops
+    total = int(new_stops[-1]) if len(kept_nodes) else 0
+    return keep, out_nodes, total
 
 
 def filter_kmers(
@@ -369,24 +489,15 @@ def filter_kmers(
     Vectorized equivalent of the native sorted-intersection compaction
     (`/root/reference/cpp/src/seqwin/helpers.cpp:426-488`).
     """
-    used = np.fromiter((int(h) for h in used_hashes), dtype=np.uint64)
-    used.sort()
-    keep = np.isin(nodes['hash'], used, assume_unique=False)
+    keep, out_nodes, total = kept_node_layout(nodes, used_hashes)
     kept_nodes = nodes[keep]
-    sizes = (kept_nodes['stop'] - kept_nodes['start']).astype(np.int64)
-    new_stops = np.cumsum(sizes)
-    new_starts = new_stops - sizes
-
-    total = int(new_stops[-1]) if len(kept_nodes) else 0
     new_kmers = np.zeros(total, dtype=KMER_DTYPE)
     if total:
         # vectorized segment gather: within-segment offset + old segment start
+        sizes = (kept_nodes['stop'] - kept_nodes['start']).astype(np.int64)
         old_starts = kept_nodes['start'].astype(np.int64)
+        new_starts = out_nodes['start'].astype(np.int64)
         seg_idx = (np.arange(total, dtype=np.int64)
                    + np.repeat(old_starts - new_starts, sizes))
         new_kmers = kmers[seg_idx]
-
-    out_nodes = kept_nodes.copy()
-    out_nodes['start'] = new_starts
-    out_nodes['stop'] = new_stops
     return new_kmers, out_nodes

@@ -220,14 +220,20 @@ def _bottom_k_tail(vals, valid, sketchsize: int):
 
 @functools.lru_cache(maxsize=None)
 def _bottom_k_kernel(k: int, sketchsize: int, seed_pattern: str | None = None):
+    """Batched sketch kernel: codes [B, n] -> (sketches [B, s], counts [B]).
+
+    One dispatch covers a whole batch of assemblies (vmap over the
+    single-stream kernel), so A assemblies cost ceil(A/B) device programs
+    instead of A (per-dispatch relay latency is ~8 ms here)."""
     import jax
 
     if seed_pattern is not None:
-        return jax.jit(functools.partial(
-            _bottom_k_spaced_impl, pattern=seed_pattern, sketchsize=sketchsize))
-    return jax.jit(
-        functools.partial(_bottom_k_kernel_impl, k=k, sketchsize=sketchsize)
-    )
+        impl = functools.partial(
+            _bottom_k_spaced_impl, pattern=seed_pattern, sketchsize=sketchsize)
+    else:
+        impl = functools.partial(
+            _bottom_k_kernel_impl, k=k, sketchsize=sketchsize)
+    return jax.jit(jax.vmap(impl))
 
 
 def _separator_run(seed_pattern: str | None) -> int:
@@ -259,11 +265,13 @@ def device_sketches(
     kmerlen: int,
     sketchsize: int = 1000,
     seed_pattern: str | None = None,
+    batch_size: int = 8,
 ) -> list[np.ndarray]:
     """Bottom-k MinHash sketch per assembly, computed on device.
 
     All assemblies share ONE padded stream shape (the run's largest, rounded
-    to a power of two), so the whole pass compiles exactly one program.
+    to a power of two) and run ``batch_size`` per dispatch, so the whole pass
+    compiles exactly one program and issues ceil(A/B) dispatches.
     Host work per assembly is O(sketchsize): trimming the returned sketch.
     ``seed_pattern`` switches from contiguous k-mers to spaced-seed hashing
     (`ops/spaced.py`; the pattern's length replaces ``kmerlen``).
@@ -282,18 +290,23 @@ def device_sketches(
     n = max(1 << 14, next_pow2(max(budgets, default=1)))
     kernel = _bottom_k_kernel(kmerlen, sketchsize, seed_pattern)
 
-    sketches: list[np.ndarray] = []
-    for recs, used in zip(record_codes_by_assembly, budgets):
-        if used == 0:
-            sketches.append(np.zeros(0, np.uint64))
-            continue
-        stream = np.full(n, 255, dtype=np.uint8)
-        off = 0
-        for c in recs:  # 255-run separators between records (`_separator_run`)
-            stream[off:off + len(c)] = c
-            off += len(c) + sep
-        bottom, n_distinct = kernel(jnp.asarray(stream))
-        sketches.append(np.asarray(bottom)[: int(n_distinct)])
+    a = len(record_codes_by_assembly)
+    batch = max(1, min(int(batch_size), a))
+    sketches: list[np.ndarray] = [np.zeros(0, np.uint64)] * a
+    for lo in range(0, a, batch):
+        rows = record_codes_by_assembly[lo:lo + batch]
+        streams = np.full((batch, n), 255, dtype=np.uint8)
+        for b, recs in enumerate(rows):
+            off = 0
+            for c in recs:  # 255-run separators between records (`_separator_run`)
+                streams[b, off:off + len(c)] = c
+                off += len(c) + sep
+        bottoms, n_distincts = kernel(jnp.asarray(streams))
+        bottoms = np.asarray(bottoms)
+        n_distincts = np.asarray(n_distincts)
+        for b, (recs, used) in enumerate(zip(rows, budgets[lo:lo + batch])):
+            if used:
+                sketches[lo + b] = bottoms[b, : int(n_distincts[b])]
     return sketches
 
 

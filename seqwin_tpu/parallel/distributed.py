@@ -45,9 +45,16 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..engine.aggregate import _extract_ascending, _merge_nodes
-from ..engine.hybrid import _host_irregular, _host_patch_z, scan_phase1, scan_phase2
+from ..engine.hybrid import (
+    _EMIT_ROW,
+    _emission_rows,
+    _host_irregular,
+    _host_patch_z,
+    scan_phase1,
+    scan_phase2,
+)
 from ..engine.minimizer import next_pow2
-from ..ops.hashing import out_hash_mult
+from ..ops.hashing import MULTISHIFT, out_hash_mult
 
 _U64 = jnp.uint64
 i32 = jnp.int32
@@ -250,6 +257,93 @@ def _sharded_build_jit(
     )(codes_aug, patch_pos, patch_z, starts, rec_base, asm_tab, is_target)
 
 
+def _last_valid_scan(oh, pos, valid):
+    """Inclusive scan carrying the (oh, pos) of the last valid entry at or
+    before each position ('last valid' is associative)."""
+
+    def combine(a, b):
+        return (
+            jnp.where(b[2], b[0], a[0]),
+            jnp.where(b[2], b[1], a[1]),
+            a[2] | b[2],
+        )
+
+    return jax.lax.associative_scan(combine, (oh, pos, valid))
+
+
+def _count_step(codes_aug, patch_pos, patch_z, starts, spec: ShardSpec,
+                n_dev: int):
+    """Per-device body of the count pre-pass: EXACT emission count, max
+    per-emission-row burst, and per-destination staging histograms for both
+    minimizers and adjacency pairs -- everything needed to size
+    `ShardSpec.emit_cap` / `bucket_cap` exactly, so the big build program
+    never re-specializes (a recompile costs ~45 s on the remote toolchain).
+    """
+    codes_aug = codes_aug.reshape(-1)
+    patch_pos = patch_pos.reshape(-1)
+    patch_z = patch_z.reshape(-1)
+    starts = starts.reshape(-1)
+
+    z_clean, c_lo, c_hi = _shard_phase1(codes_aug, spec)
+    z = z_clean.at[patch_pos].set(patch_z, mode='drop')
+    _, emit_r = _emission_rows(z)
+    row_max = jnp.max(jnp.sum(emit_r.astype(i32), axis=1))
+    emit = emit_r.reshape(-1)[:z.shape[0]]
+    count = jnp.sum(emit.astype(i32))
+
+    # out-hash per position, elementwise (emissions never land in the
+    # trimmed pallas tail, so slicing to the hash buffer length is exact)
+    nc = c_lo.shape[0]
+    emit_c = emit[:nc]
+    mult = jnp.uint64(out_hash_mult(spec.k))
+    t = (c_lo.astype(_U64) | (c_hi.astype(_U64) << _U64(32))) * mult
+    oh = t ^ (t >> _U64(MULTISHIFT))
+
+    # adjacency pairs = consecutive emissions within one record: recover the
+    # previous emission per position with one associative scan
+    iota = jnp.arange(nc, dtype=i32)
+    rec_local = jnp.searchsorted(starts, iota, side='right').astype(i32) - 1
+    last_oh, last_pos, last_valid = _last_valid_scan(oh, iota, emit_c)
+    prev_oh = jnp.concatenate([last_oh[:1], last_oh[:-1]])
+    prev_pos = jnp.concatenate([last_pos[:1], last_pos[:-1]])
+    prev_valid = jnp.concatenate([jnp.zeros(1, bool), last_valid[:-1]])
+    same_rec = rec_local == rec_local[jnp.clip(prev_pos, 0, nc - 1)]
+    pair_ok = emit_c & prev_valid & same_rec
+    p_u = jnp.minimum(oh, prev_oh)
+
+    e_bucket = _hash_bucket(oh, emit_c, n_dev)
+    p_bucket = _hash_bucket(p_u, pair_ok, n_dev)
+    e_hist = jnp.stack(
+        [jnp.sum((e_bucket == i32(d)).astype(i32)) for d in range(n_dev)])
+    p_hist = jnp.stack(
+        [jnp.sum((p_bucket == i32(d)).astype(i32)) for d in range(n_dev)])
+    return count[None], row_max[None], e_hist[None], p_hist[None]
+
+
+@functools.partial(jax.jit, static_argnames=('spec', 'n_dev', 'mesh'))
+def _sharded_count_jit(codes_aug, patch_pos, patch_z, starts, spec, n_dev, mesh):
+    body = functools.partial(_count_step, spec=spec, n_dev=n_dev)
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P('d'), P('d'), P('d'), P('d')),
+        out_specs=tuple(P('d') for _ in range(4)),
+    )(codes_aug, patch_pos, patch_z, starts)
+
+
+def _emit_cap_for(count_max: int, row_max: int, n: int) -> int:
+    """Smallest pow2 emission capacity covering the exact count AND the max
+    per-row burst (scan_phase2's cap_row scales with emit_cap)."""
+    B = _EMIT_ROW
+    ec = min(max(1 << 12, next_pow2(max(count_max, 1))), n)
+    while ec < n:
+        cap_row = min(max(32, next_pow2(2 * ec * B // max(n, 1) + 32)), B)
+        if cap_row >= row_max:
+            break
+        ec = min(ec * 2, n)
+    return ec
+
+
 def partition_records(record_lengths, n_dev: int):
     """Contiguous, load-balanced record partition (device analog of the
     reference's base+remainder thread split, `graph.cpp:305-306`).
@@ -418,44 +512,66 @@ def build_distributed_arrays(
     tmask = np.zeros(acap, dtype=bool)
     tmask[:len(tmask_h)] = tmask_h
 
-    emit_cap = min(max(1 << 12, next_pow2(int(2.5 * n / (windowsize + 1)) + 64)), n)
-    bucket_cap = max(1 << 10, next_pow2(2 * emit_cap // max(1, n_dev) + 64))
-    while True:
-        spec = ShardSpec(
-            k=kmerlen, w=windowsize, n_bases=n, offset=offset,
-            emit_cap=emit_cap, bucket_cap=bucket_cap, use_pallas=use_pallas,
-        )
-        ins = _to_mesh_arrays(
-            mesh,
-            sharded=dict(
-                codes=codes, patch_pos=patch_pos, patch_z=patch_z,
-                starts=starts, rec_base=rec_base.reshape(-1, 1),
-                asm_tab=asm_tab,
-            ),
-            replicated=dict(tmask=tmask),
-        )
-        out = _sharded_build_jit(
-            ins['codes'], ins['patch_pos'], ins['patch_z'],
-            ins['starts'], ins['rec_base'],
-            ins['asm_tab'], ins['tmask'],
-            spec, n_dev, mesh,
-        )
-        if multiproc:
-            from jax.experimental import multihost_utils
+    # mesh inputs are cap-independent: build them ONCE (one h2d), shared by
+    # the count pre-pass and the main program
+    ins = _to_mesh_arrays(
+        mesh,
+        sharded=dict(
+            codes=codes, patch_pos=patch_pos, patch_z=patch_z,
+            starts=starts, rec_base=rec_base.reshape(-1, 1),
+            asm_tab=asm_tab,
+        ),
+        replicated=dict(tmask=tmask),
+    )
 
-            out = tuple(
-                np.asarray(multihost_utils.process_allgather(o, tiled=True))
-                for o in out
-            )
-        (s_pos, s_rec, node_hash, n_start, n_stop, n_tar, n_neg,
-         e_first, e_second, e_weight, m, n_nodes, n_edges, counts, overflow) = out
-        overflow = np.asarray(overflow)
-        if int(overflow.max()) <= 0:
-            break
-        counts_h = np.asarray(counts)
-        if int(counts_h.max()) > emit_cap:
-            emit_cap = next_pow2(int(counts_h.max()) + 1)
-        bucket_cap = next_pow2(bucket_cap * 2)
+    # EXACT capacity sizing via a count-only pre-pass: emit/bucket caps are
+    # static shard_map geometry, so a cap retry would re-specialize (and
+    # re-compile, ~45 s on the remote toolchain) the big program. The
+    # pre-pass costs one extra phase-1 scan and makes overflow impossible.
+    spec0 = ShardSpec(
+        k=kmerlen, w=windowsize, n_bases=n, offset=offset,
+        emit_cap=0, bucket_cap=0, use_pallas=use_pallas,
+    )
+    cnt_out = _sharded_count_jit(
+        ins['codes'], ins['patch_pos'], ins['patch_z'], ins['starts'],
+        spec0, n_dev, mesh,
+    )
+    if multiproc:
+        from jax.experimental import multihost_utils
+
+        cnt_out = tuple(
+            np.asarray(multihost_utils.process_allgather(o, tiled=True))
+            for o in cnt_out
+        )
+    counts_h, row_maxes, e_hist, p_hist = (np.asarray(o) for o in cnt_out)
+    emit_cap = _emit_cap_for(int(counts_h.max()), int(row_maxes.max()), n)
+    per_block_max = int(max(e_hist.max(), p_hist.max(), 1))
+    bucket_cap = max(1 << 10, next_pow2(per_block_max))
+
+    spec = ShardSpec(
+        k=kmerlen, w=windowsize, n_bases=n, offset=offset,
+        emit_cap=emit_cap, bucket_cap=bucket_cap, use_pallas=use_pallas,
+    )
+    out = _sharded_build_jit(
+        ins['codes'], ins['patch_pos'], ins['patch_z'],
+        ins['starts'], ins['rec_base'],
+        ins['asm_tab'], ins['tmask'],
+        spec, n_dev, mesh,
+    )
+    if multiproc:
+        from jax.experimental import multihost_utils
+
+        out = tuple(
+            np.asarray(multihost_utils.process_allgather(o, tiled=True))
+            for o in out
+        )
+    (s_pos, s_rec, node_hash, n_start, n_stop, n_tar, n_neg,
+     e_first, e_second, e_weight, m, n_nodes, n_edges, counts, overflow) = out
+    overflow = int(np.asarray(overflow).max())
+    if overflow > 0:  # cannot happen: caps are exact (pre-pass)
+        raise RuntimeError(
+            f'distributed build overflow ({overflow}) despite exact '
+            'capacity pre-pass -- count/build emission rules diverged')
 
     m = np.asarray(m)
     n_nodes = np.asarray(n_nodes)

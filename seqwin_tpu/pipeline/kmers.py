@@ -16,8 +16,8 @@ from numpy.typing import NDArray
 
 from ..assemblies import Assemblies
 from ..config import HAS_MASH, WORKINGDIR, Config, RunState
-from ..graph import HashGraph, build
-from ..graph.build import filter_kmers as _filter_kmers
+from ..graph import HashGraph
+from ..graph.build import build_deferred, kept_node_layout
 from ..utils import log_elapsed
 from .subgraphs import get_subgraphs
 
@@ -33,7 +33,7 @@ class KmerGraph:
 
     __slots__ = (
         'kmers', 'nodes', 'edges', 'record_offsets', 'graph', 'node_penalty',
-        'subgraphs', '_is_filtered',
+        'subgraphs', '_is_filtered', '_graph',
     )
 
     def __init__(
@@ -44,6 +44,8 @@ class KmerGraph:
         n_cpu: int,
         low_memory: bool,
         backend: str = 'auto',
+        keep_codes: bool = False,
+        devices: int = 1,
     ) -> None:
         n_assemblies = len(assemblies)
         logger.info(f'Building minimizer graph from {n_assemblies} assemblies...')
@@ -51,7 +53,10 @@ class KmerGraph:
             logger.warning(' - Low-memory mode is enabled; graph construction may take longer.')
         tik = time()
 
-        kmers, nodes, edges, record_offsets, record_ids = build(
+        # deferred build: nodes land on host (penalty/threshold math below is
+        # float64 host work); the k-mer stream and edges stay device-resident
+        # until filter()/materialize() knows which entries are actually needed
+        graph, record_offsets, record_ids = build_deferred(
             assemblies.path,
             kmerlen,
             windowsize,
@@ -59,7 +64,10 @@ class KmerGraph:
             n_cpu=n_cpu,
             low_memory=low_memory,
             backend=backend,
+            keep_codes=keep_codes,
+            devices=devices,
         )
+        nodes = graph.nodes
         n_tar = sum(assemblies.is_target)
         n_neg = n_assemblies - n_tar
         nodes['penalty'] = _frac_to_penalty(
@@ -69,24 +77,34 @@ class KmerGraph:
         assemblies.record_ids = record_ids
 
         dt = time() - tik
-        logger.info(f' - Found {len(kmers)} minimizers')
+        logger.info(f' - Found {graph.n_kmers} minimizers')
         logger.info(f' - Found {len(nodes)} nodes (unique minimizers)')
-        logger.info(f' - Found {len(edges)} weighted edges')
+        logger.info(f' - Found {graph.n_edges} weighted edges')
         if dt > 0:
             logger.info(
-                f' - Throughput: {len(kmers) / dt:,.0f} minimizers/s, '
+                f' - Throughput: {graph.n_kmers / dt:,.0f} minimizers/s, '
                 f'{n_assemblies / dt:,.2f} genomes/s'
             )
         log_elapsed(dt)
 
-        self.kmers = kmers
+        self.kmers = None
         self.nodes = nodes
-        self.edges = edges
+        self.edges = None
         self.record_offsets = record_offsets
         self.graph = None
         self.node_penalty = None
         self.subgraphs = None
         self._is_filtered = False
+        self._graph = graph
+
+    def materialize(self) -> None:
+        """Transfer the full kmers/edges arrays to host (the `--no-filter`
+        path and library users that want the raw graph)."""
+        graph = getattr(self, '_graph', None)
+        if graph is not None:
+            self.kmers, self.edges = graph.materialize()
+            graph.release()
+            self._graph = None
 
     def filter(
         self,
@@ -109,15 +127,30 @@ class KmerGraph:
         else:
             logger.info(f' - Subgraph size limit is set to [{min_nodes}, {max_nodes}]')
 
+        handle = getattr(self, '_graph', None)
+        if handle is None:
+            # host-array instances (tests / loaded results): wrap in the
+            # host implementation of the deferred interface
+            from ..engine.aggregate import HostGraph
+
+            handle = HostGraph(self.kmers, self.nodes, self.edges)
+
         nodes, edges, graph, node_penalty = KmerGraph.__filter_graph(
-            self.nodes, self.edges, edge_weight_th
+            self.nodes, handle, edge_weight_th
         )
         subgraphs, used_hashes = get_subgraphs(
             graph, node_penalty, penalty_th, min_nodes, max_nodes, rng
         )
 
         logger.info(' - Removing k-mers not included in any of the subgraphs...')
-        kmers, nodes = _filter_kmers(self.kmers, nodes, used_hashes)
+        # keep flags are computed over the FULL node array (aligned with the
+        # device-resident stream); the kept rows are exactly those the
+        # reference selects from its edge-filtered subset, since used_hashes
+        # only contains hashes that survived the edge filter
+        keep, nodes, total = kept_node_layout(self.nodes, used_hashes)
+        kmers = handle.compact_kmers(keep, total)
+        handle.release()
+        self._graph = None
         logger.info(f' - {len(kmers)} k-mers left')
 
         log_elapsed(time() - tik)
@@ -130,14 +163,17 @@ class KmerGraph:
         self._is_filtered = True
 
     @staticmethod
-    def __filter_graph(nodes, edges, edge_weight_th):
+    def __filter_graph(nodes, handle, edge_weight_th):
         """Drop edges with weight <= floor(th) and isolated nodes; build the
-        adjacency (`kmers.py:171-211` semantics, HashGraph instead of nx)."""
-        logger.info(' - Filtering graph edges and nodes...')
-        n_nodes, n_edges = len(nodes), len(edges)
+        adjacency (`kmers.py:171-211` semantics, HashGraph instead of nx).
 
-        th = np.uintp(edge_weight_th)
-        edges = edges[edges['weight'] > th]
+        ``handle`` implements the deferred-graph interface: only the edges
+        that SURVIVE the weight threshold cross the device->host wire
+        (`engine.aggregate.DeviceGraph.filter_edges`)."""
+        logger.info(' - Filtering graph edges and nodes...')
+        n_nodes, n_edges = len(nodes), handle.n_edges
+
+        edges = handle.filter_edges(edge_weight_th)
         logger.info(f' - Removed {n_edges - len(edges)} edges with weight<{edge_weight_th:.3f}, {len(edges)} edges left')
 
         nodes_to_keep = np.unique(np.concatenate([edges['first'], edges['second']])) if len(edges) else np.zeros(0, np.uint64)
@@ -151,14 +187,29 @@ class KmerGraph:
         return nodes, edges, graph, node_penalty
 
 
-def _device_jaccard(assemblies: Assemblies, config: Config) -> NDArray:
-    """On-device bottom-k MinHash Jaccard matrix (mash-free estimator)."""
-    from ..io.fasta import parse_fasta_codes
+def _device_jaccard(
+    assemblies: Assemblies, config: Config, records=None
+) -> NDArray:
+    """On-device bottom-k MinHash Jaccard matrix (mash-free estimator).
+
+    ``records`` are the build's retained parsed codes (one parse per file
+    per run); when absent -- host-array build paths -- the FASTAs are
+    parsed here, in parallel.
+    """
     from ..mash import device_sketches, sketch_jaccard_matrix
 
     logger.info(' - Computing on-device MinHash sketches...')
-    records = [parse_fasta_codes(p)[1] for p in assemblies.path]
-    sketches = device_sketches(records, config.kmerlen, config.sketchsize)
+    if records is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..io.fasta import parse_fasta_codes
+
+        with ThreadPoolExecutor(max_workers=max(1, config.n_cpu)) as ex:
+            records = [codes for _, codes in ex.map(parse_fasta_codes, assemblies.path)]
+    sketches = device_sketches(
+        records, config.kmerlen, config.sketchsize,
+        seed_pattern=config.seed_pattern,
+    )
     return sketch_jaccard_matrix(sketches, config.sketchsize)
 
 
@@ -177,11 +228,19 @@ def get_kmers(
 ) -> tuple[KmerGraph, NDArray | None]:
     """Build the KmerGraph, estimate thresholds, and filter
     (`kmers.py:233-342` numeric contract)."""
+    # the device-sketch estimator will need the parsed codes right after the
+    # build -- retain them so every FASTA is parsed exactly once per run
+    need_sketches = (
+        config.penalty_th is None and not config.no_filter
+        and config.sketch_mode == 'device'
+    )
     kmers = KmerGraph(
         assemblies, config.kmerlen, config.windowsize, config.n_cpu,
         config.low_memory, backend=config.device_backend,
+        keep_codes=need_sketches, devices=config.devices,
     )
     if config.no_filter:
+        kmers.materialize()  # graph.npz dump needs the full arrays on host
         return kmers, None
 
     n_tar = state.n_tar
@@ -192,7 +251,11 @@ def get_kmers(
         logger.info('Calculating penalty threshold...')
         tik = time()
         if config.sketch_mode == 'device':
-            jaccard = _device_jaccard(assemblies, config)
+            handle = getattr(kmers, '_graph', None)
+            records = handle.record_codes if handle is not None else None
+            jaccard = _device_jaccard(assemblies, config, records=records)
+            if handle is not None:
+                handle.record_codes = None  # free the retained parse
             e_absence_tar = 1 - _expected_frac(jaccard[:n_tar, :n_tar])
             e_presence_neg = _expected_frac(jaccard[n_tar:, :n_tar])
         elif config.sketch_mode != 'minimizer' and config.run_mash and HAS_MASH:

@@ -235,3 +235,43 @@ def test_multihost_env_routing_single_process(fixture_paths, monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(got[3], np.int64), np.asarray(ref[3], np.int64))
     assert [tuple(t) for t in got[4]] == [tuple(t) for t in ref[4]]
+
+
+def test_skewed_buckets_compile_once():
+    """Adversarial capacity case: a poly-A dataset emits at EVERY position
+    and every emission hashes to ONE bucket -- the old heuristic caps would
+    have overflowed and re-specialized (recompiled) the shard_map program.
+    The exact count pre-pass must size caps so the big program is built with
+    exactly ONE ShardSpec, and the output still matches single-chip."""
+    import seqwin_tpu.parallel.distributed as D
+
+    if len(jax.devices()) < 8:
+        pytest.skip('not enough devices')
+    records = [np.zeros(2000, dtype=np.uint8) for _ in range(8)]  # all 'A'
+    offsets = np.array([0, 4, 8], dtype=np.uintp)
+    targets = [True, False]
+    k, w = 9, 12
+
+    specs = []
+    orig = D._sharded_build_jit
+
+    def spying(*args):
+        specs.append(args[-3])
+        return orig(*args)
+
+    D._sharded_build_jit = spying
+    try:
+        mesh = make_mesh(8)
+        got_k, got_n, got_e = build_distributed_arrays(
+            records, offsets, targets, k, w, mesh
+        )
+    finally:
+        D._sharded_build_jit = orig
+
+    assert len(specs) == 1, f'big program specialized {len(specs)} times'
+    # caps were sized from exact counts: emissions are dense here
+    assert specs[0].emit_cap >= 1984  # ~every position of a 2000-base record
+    ref_k, ref_n, ref_e = _single_chip_reference(records, k, w, offsets, targets)
+    np.testing.assert_array_equal(got_k, ref_k)
+    np.testing.assert_array_equal(got_n, ref_n)
+    np.testing.assert_array_equal(got_e, ref_e)
