@@ -83,15 +83,14 @@ def main():
         t['unpack'] = time.time() - t0
 
         t0 = time.time()
-        z_clean, c_lo, c_hi = pallas_phase1(codes_aug.reshape(rtotal, LANES), K, W)
+        z_clean, _, _ = pallas_phase1(
+            codes_aug.reshape(rtotal, LANES), K, W, with_hashes=False)
         sync(z_clean)
         t['phase1_pallas'] = time.time() - t0
 
-        canon = c_lo.astype(jnp.uint64) | (c_hi.astype(jnp.uint64) << jnp.uint64(32))
         tail = n - z_clean.shape[0]
         if tail:
             z_clean = jnp.concatenate([z_clean, jnp.full((tail,), jnp.int32(-1))])
-            canon = jnp.concatenate([canon, jnp.zeros((tail,), dtype=jnp.uint64)])
 
         scap = max(64, next_pow2(len(starts)))
         starts_a = np.full(scap, n, dtype=np.int32)
@@ -108,9 +107,9 @@ def main():
 
         t0 = time.time()
         e_oh, e_pos, e_rec, count, e_asm = hybrid.scan_phase2(
-            z_clean, canon, jnp.asarray(ppos), jnp.asarray(pz),
-            jnp.asarray(starts_a), jnp.uint64(out_hash_mult(K)), jnp.int32(0),
-            jnp.asarray(off_a), emit_cap)
+            z_clean, codes_aug, jnp.asarray(ppos), jnp.asarray(pz),
+            jnp.asarray(starts_a), jnp.int32(0),
+            jnp.asarray(off_a), emit_cap, K)
         sync(e_oh)
         t['phase2'] = time.time() - t0
         cnt = int(count)

@@ -35,7 +35,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.hashing import MULTISHIFT, out_hash_mult
 from .aggregate import _merge_edges, _merge_nodes, _pack_outputs, _split_outputs
 from .hybrid import (
     _asm_table,
@@ -92,15 +91,16 @@ def _phase1_in_body(codes_aug, spec: FusedSpec):
         from .pallas_scan import L as _LANES, pallas_phase1
 
         interpret = jax.default_backend() not in ('tpu', 'axon')
-        z_clean, c_lo, c_hi = pallas_phase1(
+        z_clean, _, _ = pallas_phase1(
             codes_aug.reshape(spec.rtotal, _LANES), spec.k, spec.w,
-            interpret=interpret,
+            interpret=interpret, with_hashes=False,
         )
         tail = spec.n - z_clean.shape[0]
         if tail:
             z_clean = jnp.concatenate([z_clean, jnp.full((tail,), i32(-1))])
-        return z_clean, c_lo, c_hi
-    return scan_phase1(codes_aug, spec.k, spec.w)
+        return z_clean
+    z_clean, _, _ = scan_phase1(codes_aug, spec.k, spec.w, with_hashes=False)
+    return z_clean
 
 
 @functools.partial(jax.jit, static_argnames=('spec',))
@@ -108,8 +108,6 @@ def _fused_build(payload, starts_u, inv, stream_end, starts, patch_pos,
                  patch_z, rec_base, asm_tab, tmask, spec: FusedSpec):
     """[C, ...]-stacked chunk inputs -> merged (kmers, nodes, edges) columns
     (device-resident, untrimmed) + meta counts."""
-    mult = jnp.uint64(out_hash_mult(spec.k))
-
     def chunk_body(args):
         (payload_c, starts_u_c, inv_c, se_c, starts_c, pp_c, pz_c, rb_c,
          at_c) = args
@@ -118,10 +116,10 @@ def _fused_build(payload, starts_u, inv, stream_end, starts, patch_pos,
                 payload_c, starts_u_c, inv_c, se_c, spec.n, spec.offset)
         else:
             codes_aug = payload_c
-        z_clean, c_lo, c_hi = _phase1_in_body(codes_aug, spec)
+        z_clean = _phase1_in_body(codes_aug, spec)
         return scan_phase2(
-            z_clean, c_lo, c_hi, pp_c, pz_c, starts_c, mult, rb_c, at_c,
-            spec.emit_cap,
+            z_clean, codes_aug, pp_c, pz_c, starts_c, rb_c, at_c,
+            spec.emit_cap, spec.k,
         )
 
     e_oh, e_pos, e_rec, counts, e_asm = jax.lax.map(

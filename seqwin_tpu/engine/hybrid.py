@@ -59,19 +59,23 @@ def _u64(x: int):
     return jnp.uint64(x)
 
 
-@functools.partial(jax.jit, static_argnames=('k', 'w'))
-def scan_phase1(codes_aug, k: int, w: int):
+@functools.partial(jax.jit, static_argnames=('k', 'w', 'with_hashes'))
+def scan_phase1(codes_aug, k: int, w: int, with_hashes: bool = True):
     """Device call 1: hashes + validity + clean-window argmin.
 
     Args:
         codes_aug: uint8[N]; bits 0..5 = base code (0..3 valid), bit 6 = the
             record-start flag; padding bytes are 255.
+        with_hashes: also return the canonical hash halves; the hot path
+            passes False (phase 2 recomputes hashes at emitted positions
+            only), saving the 8 B/pos canon output arrays.
 
     Returns:
         (z_clean i32[N], c_lo u32[N], c_hi u32[N]) -- the canonical hash as
         split u32 halves, matching the Pallas kernel's output layout (joining
         to u64 would materialize an 8 B/pos array only to be gathered at
         ~1/100 density in phase 2; measured 63 ms per 32 Mbp chunk on TPU).
+        (None, None) canon halves when ``with_hashes`` is False.
     """
     n = codes_aug.shape[0]
     iota = jnp.arange(n, dtype=i32)
@@ -140,6 +144,8 @@ def scan_phase1(codes_aug, k: int, w: int):
     win_mh, win_idx = _combine_rmin(t_mh, t_idx, p_mh, p_idx)
 
     z_clean = jnp.where(clean & (win_mh != _u64(M64)), win_idx, i32(-1))
+    if not with_hashes:
+        return z_clean, None, None
     c_lo = (canon & _u64(0xFFFFFFFF)).astype(jnp.uint32)
     c_hi = (canon >> _u64(32)).astype(jnp.uint32)
     return z_clean, c_lo, c_hi
@@ -173,9 +179,43 @@ def _emission_rows(z):
     return zr, emit
 
 
-@functools.partial(jax.jit, static_argnames=('emit_cap',))
-def scan_phase2(z_clean, c_lo, c_hi, patch_pos, patch_z, starts, mult, rec_base,
-                asm_tab, emit_cap: int):
+@functools.lru_cache(maxsize=None)
+def _rot_seed_tables(k: int):
+    """Pre-rotated per-offset seed tables for recomputing the canonical hash
+    at a known position: fwd[j][c] = srol^(k-1-j)(SEED[c]),
+    rev[j][c] = srol^j(SEED_COMP[c]) (u64 numpy constants, 5th row = 0 for
+    out-of-range codes on dead lanes)."""
+    from ..ops.hashing import srol
+
+    fwd = np.zeros((k, 8), dtype=np.uint64)
+    rev = np.zeros((k, 8), dtype=np.uint64)
+    for j in range(k):
+        for c in range(4):
+            fwd[j, c] = srol(SEEDS[c], (k - 1 - j) % 1023)
+            rev[j, c] = srol(SEEDS_COMP[c], j % 1023)
+    return fwd, rev
+
+
+def _canon_at_emitted(codes_aug, safe, k: int):
+    """Canonical ntHash at the gathered (emitted) positions: k sparse gathers
+    of the code stream + table folds. Emitted positions are valid k-mers by
+    construction, so no validity masking is needed; dead lanes produce
+    garbage that callers mask with ``live``."""
+    fwd_t, rev_t = _rot_seed_tables(k)
+    n = codes_aug.shape[0]
+    codes = (codes_aug & jnp.uint8(63)).astype(i32)
+    fwd = jnp.zeros(safe.shape, _U64)
+    rev = jnp.zeros(safe.shape, _U64)
+    for j in range(k):
+        cj = jnp.minimum(codes[jnp.minimum(safe + j, n - 1)], i32(7))
+        fwd = fwd ^ jnp.asarray(fwd_t[j])[cj]
+        rev = rev ^ jnp.asarray(rev_t[j])[cj]
+    return fwd + rev
+
+
+@functools.partial(jax.jit, static_argnames=('emit_cap', 'k'))
+def scan_phase2(z_clean, codes_aug, patch_pos, patch_z, starts, rec_base,
+                asm_tab, emit_cap: int, k: int):
     """Device call 2: z-patch, emission prefix-max, two-level extraction, and
     the final (record, position, out-hash) mapping -- all device-resident so
     no per-chunk host round-trip is needed.
@@ -191,21 +231,23 @@ def scan_phase2(z_clean, c_lo, c_hi, patch_pos, patch_z, starts, mult, rec_base,
     doubles both caps; cap_row == row width makes overflow impossible, so the
     ladder terminates.
 
+    Hashes are RECOMPUTED here, only at the emit-cap-sized gather
+    (`_canon_at_emitted`): the phase-1 kernel then writes just z (4 B/pos
+    instead of 12 B/pos of z + canon halves), which is most of its HBM
+    traffic.
+
     Args:
-        c_lo, c_hi: uint32 split halves of the canonical hash (the Pallas
-            kernel's native layout; may be shorter than z_clean -- trailing
-            halo rows are never emitted). Joined to u64 only AFTER the
-            emit-cap-sized gather.
+        codes_aug: uint8[>= n - k] augmented code stream (bit 6 = record
+            start; padding 255) -- the same array phase 1 scanned.
         starts: int32[S] record start offsets padded with a value > any
             position (used for the flat-position -> record searchsorted).
-        mult: uint64 scalar, the derived-hash multiplier for this k.
         rec_base: int32 scalar, global record index of this chunk's record 0.
         asm_tab: int32[S] local record index -> assembly index (host-built;
             padding entries may hold anything -- dead lanes are masked).
 
     Returns:
         (e_oh u64[emit_cap], e_pos u32[emit_cap], e_rec i32[emit_cap] (-1 pad),
-         count i32)
+         count i32, e_asm i32[emit_cap])
     """
     n = z_clean.shape[0]
     z = z_clean.at[patch_pos].set(patch_z, mode='drop')
@@ -230,10 +272,10 @@ def scan_phase2(z_clean, c_lo, c_hi, patch_pos, patch_z, starts, mult, rec_base,
     asc = top2[::-1]
     n_pad = emit_cap - jnp.minimum(count, i32(emit_cap))
     eidx = jnp.roll(asc, -n_pad)
-    safe = jnp.clip(eidx, 0, c_lo.shape[0] - 1)
+    safe = jnp.clip(eidx, 0, codes_aug.shape[0] - 1)
     live = eidx >= 0
-    e_canon = c_lo[safe].astype(_U64) | (c_hi[safe].astype(_U64) << _u64(32))
-    t = e_canon * mult
+    e_canon = _canon_at_emitted(codes_aug, safe, k)
+    t = e_canon * _u64(out_hash_mult(k))
     e_oh = jnp.where(live, t ^ (t >> _u64(MULTISHIFT)), _u64(0))
     rec_local = jnp.searchsorted(starts, eidx, side='right').astype(i32) - 1
     rec_local = jnp.clip(rec_local, 0, starts.shape[0] - 1)
@@ -550,16 +592,16 @@ def scan_chunk_device(
         interpret = jax.default_backend() not in ('tpu', 'axon')
         from .pallas_scan import L as _LANES
 
-        z_clean, c_lo, c_hi = pallas_phase1(
-            codes_aug.reshape(rtotal, _LANES), k, w, interpret=interpret
+        # z-only kernel output: phase 2 recomputes hashes at emissions
+        z_clean, _, _ = pallas_phase1(
+            codes_aug.reshape(rtotal, _LANES), k, w, interpret=interpret,
+            with_hashes=False,
         )
-        # pallas output omits trailing halo rows; pad z back to n (phase 2
-        # gathers c_lo/c_hi sparsely -- emissions never land in the tail)
         tail = n - z_clean.shape[0]
         if tail:
             z_clean = jnp.concatenate([z_clean, jnp.full((tail,), i32(-1))])
     else:
-        z_clean, c_lo, c_hi = scan_phase1(codes_aug, k, w)
+        z_clean, _, _ = scan_phase1(codes_aug, k, w, with_hashes=False)
 
     pcap = max(256, next_pow2(len(irr_pos) or 1))
     patch_pos_a = np.full(pcap, n, dtype=np.int32)
@@ -567,7 +609,6 @@ def scan_chunk_device(
     patch_pos_a[:len(irr_pos)] = irr_pos
     patch_z_a[:len(irr_pos)] = patch_z
 
-    mult = jnp.uint64(out_hash_mult(k))
     # local record -> assembly table, aligned with `starts` (shared shape)
     off_j = jnp.asarray(_asm_table(record_offsets, rec_base, len(starts), scap))
 
@@ -576,14 +617,14 @@ def scan_chunk_device(
     emit_cap = min(max(1 << 12, next_pow2(int(2.5 * n / (w + 1)) + 64)), n)
     if defer_sync:
         e_oh, e_pos, e_rec, count, e_asm = scan_phase2(
-            z_clean, c_lo, c_hi, jnp.asarray(patch_pos_a), jnp.asarray(patch_z_a),
-            starts_j, mult, jnp.int32(rec_base), off_j, emit_cap,
+            z_clean, codes_aug, jnp.asarray(patch_pos_a), jnp.asarray(patch_z_a),
+            starts_j, jnp.int32(rec_base), off_j, emit_cap, k,
         )
         return e_oh, e_pos, e_rec, count, e_asm  # count is a device scalar
     while True:
         e_oh, e_pos, e_rec, count, e_asm = scan_phase2(
-            z_clean, c_lo, c_hi, jnp.asarray(patch_pos_a), jnp.asarray(patch_z_a),
-            starts_j, mult, jnp.int32(rec_base), off_j, emit_cap,
+            z_clean, codes_aug, jnp.asarray(patch_pos_a), jnp.asarray(patch_z_a),
+            starts_j, jnp.int32(rec_base), off_j, emit_cap, k,
         )
         count = int(count)
         if count <= emit_cap:

@@ -168,8 +168,9 @@ def _take_right(l_lo, l_hi, r_lo, r_hi):
     return (r_hi < l_hi) | ((r_hi == l_hi) & (r_lo <= l_lo))
 
 
-def _make_kernel(k: int, w: int, tb: int, hb: int, rows_in: int, n_total: int):
-    def kernel(scal_ref, codes_ref, z_ref, clo_ref, chi_ref):
+def _make_kernel(k: int, w: int, tb: int, hb: int, rows_in: int, n_total: int,
+                 with_hashes: bool = True):
+    def kernel(scal_ref, codes_ref, z_ref, clo_ref=None, chi_ref=None):
         # scal_ref (SMEM i32[1,4]): [base_row, base%33, base%31, base%w]
         # NOTE: masks that get shifted/concatenated are kept in i32 -- bool
         # vector relayouts crash this Mosaic ("Invalid vector register cast").
@@ -273,8 +274,9 @@ def _make_kernel(k: int, w: int, tb: int, hb: int, rows_in: int, n_total: int):
         z = jnp.where(clean & not_max, win_i, i32(-1))
 
         z_ref[:] = z[hb:hb + tb]
-        clo_ref[:] = c_lo[hb:hb + tb]
-        chi_ref[:] = c_hi[hb:hb + tb]
+        if with_hashes:
+            clo_ref[:] = c_lo[hb:hb + tb]
+            chi_ref[:] = c_hi[hb:hb + tb]
 
     return kernel
 
@@ -286,17 +288,24 @@ def _halos(k: int, w: int) -> tuple[int, int]:
     return hb, ha
 
 
-@functools.partial(jax.jit, static_argnames=('k', 'w', 'tb', 'interpret'))
-def pallas_phase1(codes_aug_2d, k: int, w: int, tb: int = 512, interpret: bool = False):
+@functools.partial(
+    jax.jit, static_argnames=('k', 'w', 'tb', 'interpret', 'with_hashes'))
+def pallas_phase1(codes_aug_2d, k: int, w: int, tb: int = 512,
+                  interpret: bool = False, with_hashes: bool = True):
     """Run the fused scan kernel over an (R, 128) uint8 stream.
 
     Args:
         codes_aug_2d: uint8[R, 128]; the first hb rows and the last >= ha rows
             must be padding (use `phase1_shapes`). Bit 6 = record start.
+        with_hashes: also write the canonical hash halves. The hot path
+            passes False -- phase 2 recomputes hashes only at emitted
+            positions (~1/(w/2) density), cutting the kernel's HBM writes
+            from 12 to 4 bytes/position (PERF.md round-3 lever).
 
     Returns:
         (z i32[R*128], canon_lo u32[R*128], canon_hi u32[R*128]); the leading
-        hb rows and trailing halo rows carry z = -1 / canon = 0.
+        hb rows and trailing halo rows carry z = -1 / canon = 0. Without
+        ``with_hashes`` the canon entries are (None, None).
     """
     rtotal, ww = codes_aug_2d.shape
     assert ww == L
@@ -307,27 +316,25 @@ def pallas_phase1(codes_aug_2d, k: int, w: int, tb: int = 512, interpret: bool =
     rows_in = tb + hb + ha
     assert hb + r_out + (rows_in - tb - hb) <= rtotal
     n_total = rtotal * L
-    kernel = _make_kernel(k, w, tb, hb, rows_in, n_total)
+    kernel = _make_kernel(k, w, tb, hb, rows_in, n_total, with_hashes)
     tiles = r_out // tb
 
+    n_out = 3 if with_hashes else 1
     # NOTE: this toolchain's Mosaic cannot compile *gridded* pallas kernels
     # ("failed to legalize func.return"), so tiling happens at the XLA level:
     # a grid-free kernel per tile, sequenced by lax.map over dynamic slices.
     call = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((tb, L), i32),
-            jax.ShapeDtypeStruct((tb, L), u32),
-            jax.ShapeDtypeStruct((tb, L), u32),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((tb, L), dt)
+            for dt in ((i32, u32, u32)[:n_out])
         ),
         in_specs=[
             pl.BlockSpec((1, 4), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=tuple(
+            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_out)
         ),
         interpret=interpret,
     )
@@ -339,19 +346,20 @@ def pallas_phase1(codes_aug_2d, k: int, w: int, tb: int = 512, interpret: bool =
         scal = jnp.stack([base_row, base % 33, base % 31, base % w]).astype(i32).reshape(1, 4)
         return call(scal, tile_codes)
 
-    z2d, lo2d, hi2d = jax.lax.map(body, jnp.arange(tiles, dtype=i32))
-    z2d = z2d.reshape(r_out, L)
-    lo2d = lo2d.reshape(r_out, L)
-    hi2d = hi2d.reshape(r_out, L)
-
-    head_z = jnp.full((hb, L), i32(-1))
-    head_u = jnp.zeros((hb, L), dtype=u32)
+    outs = jax.lax.map(body, jnp.arange(tiles, dtype=i32))
     tail = rtotal - hb - r_out
+
+    z2d = outs[0].reshape(r_out, L)
+    head_z = jnp.full((hb, L), i32(-1))
     tail_z = jnp.full((tail, L), i32(-1))
-    tail_u = jnp.zeros((tail, L), dtype=u32)
     z = jnp.concatenate([head_z, z2d, tail_z]).reshape(-1)
-    lo = jnp.concatenate([head_u, lo2d, tail_u]).reshape(-1)
-    hi = jnp.concatenate([head_u, hi2d, tail_u]).reshape(-1)
+    if not with_hashes:
+        return z, None, None
+
+    head_u = jnp.zeros((hb, L), dtype=u32)
+    tail_u = jnp.zeros((tail, L), dtype=u32)
+    lo = jnp.concatenate([head_u, outs[1].reshape(r_out, L), tail_u]).reshape(-1)
+    hi = jnp.concatenate([head_u, outs[2].reshape(r_out, L), tail_u]).reshape(-1)
     return z, lo, hi
 
 

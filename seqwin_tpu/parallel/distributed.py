@@ -159,19 +159,20 @@ def _reduce_edges(u, v, asm, valid, edge_cap: int):
     return e_first, e_second, weight, n_edges
 
 
-def _shard_phase1(codes_aug, spec: ShardSpec):
+def _shard_phase1(codes_aug, spec: ShardSpec, with_hashes: bool = False):
     if spec.use_pallas:
         from ..engine.pallas_scan import L as _LANES, pallas_phase1
 
         interpret = jax.default_backend() not in ('tpu', 'axon')
         z_clean, c_lo, c_hi = pallas_phase1(
-            codes_aug.reshape(-1, _LANES), spec.k, spec.w, interpret=interpret
+            codes_aug.reshape(-1, _LANES), spec.k, spec.w,
+            interpret=interpret, with_hashes=with_hashes,
         )
         tail = spec.n_bases - z_clean.shape[0]
         if tail:
             z_clean = jnp.concatenate([z_clean, jnp.full((tail,), i32(-1))])
         return z_clean, c_lo, c_hi
-    return scan_phase1(codes_aug, spec.k, spec.w)
+    return scan_phase1(codes_aug, spec.k, spec.w, with_hashes=with_hashes)
 
 
 def _shard_step(
@@ -188,11 +189,10 @@ def _shard_step(
     asm_tab = asm_tab.reshape(-1)
     is_target = is_target.reshape(-1)
 
-    z_clean, c_lo, c_hi = _shard_phase1(codes_aug, spec)
-    mult = jnp.uint64(out_hash_mult(spec.k))
+    z_clean, _, _ = _shard_phase1(codes_aug, spec)
     e_oh, e_pos, e_rec, count, e_asm = scan_phase2(
-        z_clean, c_lo, c_hi, patch_pos, patch_z, starts, mult,
-        rec_base.astype(i32), asm_tab, spec.emit_cap,
+        z_clean, codes_aug, patch_pos, patch_z, starts,
+        rec_base.astype(i32), asm_tab, spec.emit_cap, spec.k,
     )
     live = e_rec >= 0
 
@@ -284,7 +284,7 @@ def _count_step(codes_aug, patch_pos, patch_z, starts, spec: ShardSpec,
     patch_z = patch_z.reshape(-1)
     starts = starts.reshape(-1)
 
-    z_clean, c_lo, c_hi = _shard_phase1(codes_aug, spec)
+    z_clean, c_lo, c_hi = _shard_phase1(codes_aug, spec, with_hashes=True)
     z = z_clean.at[patch_pos].set(patch_z, mode='drop')
     _, emit_r = _emission_rows(z)
     row_max = jnp.max(jnp.sum(emit_r.astype(i32), axis=1))
@@ -661,13 +661,12 @@ def _seq_shard_step(codes_aug, patch_pos, patch_z, block_off, spec: ShardSpec,
     patch_z = patch_z.reshape(-1)
     block_off = block_off.reshape(())
 
-    z_clean, c_lo, c_hi = _shard_phase1(codes_aug, spec)
-    mult = jnp.uint64(out_hash_mult(spec.k))
+    z_clean, _, _ = _shard_phase1(codes_aug, spec)
     starts = jnp.full((64,), spec.n_bases, dtype=jnp.int32).at[0].set(spec.offset)
     asm_tab = jnp.zeros((64,), dtype=i32)  # single pseudo-assembly
     e_oh, e_pos, e_rec, count, _ = scan_phase2(
-        z_clean, c_lo, c_hi, patch_pos, patch_z, starts, mult, i32(0), asm_tab,
-        spec.emit_cap,
+        z_clean, codes_aug, patch_pos, patch_z, starts, i32(0), asm_tab,
+        spec.emit_cap, spec.k,
     )
     idx = jnp.arange(spec.emit_cap, dtype=i32)
     live = idx < count

@@ -57,3 +57,22 @@ def test_pallas_phase1_all_clean_long():
     z_ref, _ = _xla_ref(aug2d.reshape(-1), k, w)
     z, lo, hi = pallas_phase1(aug2d, k, w, interpret=True)
     np.testing.assert_array_equal(np.asarray(z), z_ref)
+
+
+def test_pallas_z_only_matches_with_hashes():
+    """The hot path's z-only kernel variant (phase 2 recomputes hashes at
+    emitted positions) must produce the same z stream."""
+    rng = np.random.default_rng(11)
+    k, w = 17, 10
+    codes = rng.integers(0, 4, size=3000).astype(np.uint8)
+    codes[rng.integers(0, 3000, size=40)] = 255
+    rtotal, n, offset = phase1_shapes(len(codes), k, w)
+    aug = np.full(n, 255, dtype=np.uint8)
+    aug[offset:offset + len(codes)] = codes
+    aug[offset] |= 64
+    aug2d = jnp.asarray(aug.reshape(rtotal, L))
+    z_full, lo, hi = pallas_phase1(aug2d, k, w, interpret=True)
+    z_only, no_lo, no_hi = pallas_phase1(aug2d, k, w, interpret=True,
+                                         with_hashes=False)
+    assert no_lo is None and no_hi is None
+    np.testing.assert_array_equal(np.asarray(z_only), np.asarray(z_full))
