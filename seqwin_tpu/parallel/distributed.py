@@ -179,8 +179,19 @@ def _shard_step(
     codes_aug, patch_pos, patch_z, starts, rec_base,
     asm_tab, is_target,
     spec: ShardSpec, n_dev: int,
+    extras=None,
 ):
-    """Per-device body: hybrid scan + routed per-bucket node/edge merge."""
+    """Per-device body: hybrid scan + routed per-bucket node/edge merge.
+
+    ``extras`` = optional (x_oh, x_pos, x_rec, x_asm) pre-scanned emissions
+    appended AFTER this device's own output: the emission streams of
+    oversized records scanned by `scan_record_sharded` (sequence sharding
+    composed into the distributed build). The oversized record is by
+    construction the LAST record of its owning device, so appending keeps
+    the global (assembly, record, pos) scan order that the stable bucket
+    merge relies on; adjacency pairs across its block junctions form
+    naturally in the concatenated stream (no bridge bookkeeping).
+    """
     codes_aug = codes_aug.reshape(-1)
     patch_pos = patch_pos.reshape(-1)
     patch_z = patch_z.reshape(-1)
@@ -194,6 +205,14 @@ def _shard_step(
         z_clean, codes_aug, patch_pos, patch_z, starts,
         rec_base.astype(i32), asm_tab, spec.emit_cap, spec.k,
     )
+    if extras is not None:
+        # count stays scan-only (it feeds the emit_cap overflow assert);
+        # extras land in m via the routed rec >= 0 mask
+        x_oh, x_pos, x_rec, x_asm = (x.reshape(-1) for x in extras)
+        e_oh = jnp.concatenate([e_oh, x_oh])
+        e_pos = jnp.concatenate([e_pos, x_pos])
+        e_rec = jnp.concatenate([e_rec, x_rec])
+        e_asm = jnp.concatenate([e_asm, x_asm])
     live = e_rec >= 0
 
     # --- adjacency pairs at the source (never span records or shards) ---
@@ -255,6 +274,33 @@ def _sharded_build_jit(
         in_specs=(P('d'), P('d'), P('d'), P('d'), P('d'), P('d'), P()),
         out_specs=tuple(P('d') for _ in range(15)),
     )(codes_aug, patch_pos, patch_z, starts, rec_base, asm_tab, is_target)
+
+
+@functools.partial(jax.jit, static_argnames=('spec', 'n_dev', 'mesh'))
+def _sharded_build_x_jit(
+    codes_aug, patch_pos, patch_z, starts, rec_base, asm_tab, is_target,
+    x_oh, x_pos, x_rec, x_asm,
+    spec, n_dev, mesh,
+):
+    """`_sharded_build_jit` variant with per-device extra emissions (the
+    sequence-sharding composition); a separate entry point so the common
+    no-oversized-records program keeps its compiled shape."""
+
+    def body(codes_aug, patch_pos, patch_z, starts, rec_base, asm_tab,
+             is_target, x_oh, x_pos, x_rec, x_asm):
+        return _shard_step(
+            codes_aug, patch_pos, patch_z, starts, rec_base, asm_tab,
+            is_target, spec, n_dev, extras=(x_oh, x_pos, x_rec, x_asm),
+        )
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P('d'), P('d'), P('d'), P('d'), P('d'), P('d'), P(),
+                  P('d'), P('d'), P('d'), P('d')),
+        out_specs=tuple(P('d') for _ in range(15)),
+    )(codes_aug, patch_pos, patch_z, starts, rec_base, asm_tab, is_target,
+      x_oh, x_pos, x_rec, x_asm)
 
 
 def _last_valid_scan(oh, pos, valid):
@@ -364,17 +410,25 @@ def partition_records(record_lengths, n_dev: int):
 
 
 def _shard_layout(record_codes, shard_of, n_dev: int, k: int, w: int,
-                  use_pallas: bool, min_bases: int = 1 << 14):
+                  use_pallas: bool, min_bases: int = 1 << 14,
+                  rec_base_override: np.ndarray | None = None):
     """Host prep: per-shard augmented code streams, record starts, and
-    irregular-window patches, all padded to shared shapes."""
+    irregular-window patches, all padded to shared shapes.
+
+    ``rec_base_override``: per-device global index of the first stream
+    record, for layouts where some records are NOT in the streams (oversized
+    records composed in as pre-scanned extras)."""
     per_dev: list[list[np.ndarray]] = [[] for _ in range(n_dev)]
     for c, d in zip(record_codes, shard_of):
         per_dev[d].append(c)
-    rec_base = np.zeros(n_dev, dtype=np.int32)
-    cum = 0
-    for d in range(n_dev):
-        rec_base[d] = cum
-        cum += len(per_dev[d])
+    if rec_base_override is not None:
+        rec_base = np.asarray(rec_base_override, dtype=np.int32).copy()
+    else:
+        rec_base = np.zeros(n_dev, dtype=np.int32)
+        cum = 0
+        for d in range(n_dev):
+            rec_base[d] = cum
+            cum += len(per_dev[d])
 
     max_total = max((sum(len(c) for c in recs) for recs in per_dev), default=1)
     if use_pallas:
@@ -431,6 +485,46 @@ def _to_mesh_arrays(mesh: Mesh, sharded: dict, replicated: dict):
     return out
 
 
+def _assign_with_oversized(lengths, over: set, n_dev: int):
+    """Contiguous shard assignment where every oversized record TERMINATES
+    its device (its pre-scanned emissions are appended after the device's own
+    output, so no later record may share the device). Returns
+    (shard_of, rec_base_override) or (None, None) when infeasible (a record
+    follows an oversized record on the already-last device)."""
+    shard_of = np.zeros(len(lengths), dtype=np.int32)
+    norm_total = sum(ln for i, ln in enumerate(lengths) if i not in over)
+    target = norm_total / n_dev if n_dev else 0
+    d, acc, closed = 0, 0, False
+    glob_acc = 0
+    for i, ln in enumerate(lengths):
+        if i in over:
+            shard_of[i] = d
+            closed = True
+            continue
+        if closed:
+            if d >= n_dev - 1:
+                return None, None
+            d += 1
+            closed = False
+        elif acc > 0 and glob_acc > target * (d + 1) and d < n_dev - 1:
+            d += 1
+            acc = 0
+        shard_of[i] = d
+        acc += int(ln)
+        glob_acc += int(ln)
+    # per-device global index of the first STREAM (non-oversized) record
+    rec_base = np.zeros(n_dev, dtype=np.int32)
+    seen = [False] * n_dev
+    for i, ln in enumerate(lengths):
+        if i in over:
+            continue
+        dd = int(shard_of[i])
+        if not seen[dd]:
+            rec_base[dd] = i
+            seen[dd] = True
+    return shard_of, rec_base
+
+
 def build_distributed_arrays(
     record_codes: list[np.ndarray],
     record_offsets: np.ndarray,
@@ -465,7 +559,33 @@ def build_distributed_arrays(
             jax.default_backend() in ('tpu', 'axon') if mode == 'auto'
             else mode == 'pallas'
         )
-    shard_of = partition_records([len(c) for c in record_codes], n_local)
+    # --- sequence sharding composed into the distributed build ---
+    # A record larger than ~2x the balanced per-device share would inflate
+    # the SHARED padded stream shape for every device (the reference streams
+    # any record length through one thread, `graph.cpp:106-110`). Such
+    # records are instead scanned with `scan_record_sharded` (halo blocks +
+    # one-all_gather carry over the same mesh) and their emission streams
+    # ride into the main program as per-device extras.
+    lengths = [len(c) for c in record_codes]
+    total_b = int(sum(lengths))
+    seq_budget = max(1 << 16, -(-2 * total_b // max(n_local, 1)))
+    oversized: list[int] = []
+    if not multiproc and n_local > 1:
+        oversized = [i for i, ln in enumerate(lengths) if ln > seq_budget]
+    shard_of, rec_base_over = (None, None)
+    if oversized:
+        shard_of, rec_base_over = _assign_with_oversized(
+            lengths, set(oversized), n_local)
+        if shard_of is None:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                'oversized records cannot terminate their shards (too many '
+                'near the tail); falling back to the inflated-stream layout')
+            oversized = []
+    if shard_of is None:
+        shard_of = partition_records(lengths, n_local)
+    normal_idx = [i for i in range(len(lengths)) if i not in set(oversized)]
     min_bases = 1 << 14
     if multiproc:
         # static geometry must agree across processes: exchange the largest
@@ -480,11 +600,60 @@ def build_distributed_arrays(
         )
         min_bases = max(min_bases, int(multihost_utils.process_allgather(
             np.asarray([local_max], dtype=np.int64)).max()))
+    if oversized:
+        stream_codes = [record_codes[i] for i in normal_idx]
+        stream_shard = np.asarray([shard_of[i] for i in normal_idx], np.int32)
+    else:
+        stream_codes, stream_shard = record_codes, shard_of
     codes, starts, patch_pos, patch_z, rec_base, n, offset = _shard_layout(
-        record_codes, shard_of, n_local, kmerlen, windowsize, use_pallas,
-        min_bases=min_bases,
+        stream_codes, stream_shard, n_local, kmerlen, windowsize, use_pallas,
+        min_bases=min_bases, rec_base_override=rec_base_over,
     )
     rec_base += np.int32(rec_base0)
+
+    # scan oversized records over the whole mesh (their own, record-sized
+    # programs) and stage their emission streams as per-device extras
+    extras = None
+    e_hist_x = p_hist_x = None
+    if oversized:
+        off_h = np.asarray(record_offsets, dtype=np.int64)
+        per_dev_x: list[list[tuple]] = [[] for _ in range(n_local)]
+        for i in oversized:
+            (x_oh, x_pos, x_rec), _bridges = scan_record_sharded(
+                record_codes[i], kmerlen, windowsize, mesh,
+                rec_idx=i + rec_base0, record_offsets=record_offsets,
+                use_pallas=use_pallas,
+            )
+            # junction pairs form naturally in the concatenated stream;
+            # the returned bridge pairs are deliberately dropped
+            asm_i = int(np.searchsorted(off_h, i + rec_base0, side='right') - 1)
+            per_dev_x[int(shard_of[i])].append((x_oh, x_pos, x_rec, asm_i))
+        xcap = max(128, next_pow2(max(
+            (sum(len(t[0]) for t in lst) for lst in per_dev_x), default=1)))
+        x_oh = np.zeros((n_local, xcap), np.uint64)
+        x_pos = np.zeros((n_local, xcap), np.uint32)
+        x_rec = np.full((n_local, xcap), -1, np.int32)
+        x_asm = np.zeros((n_local, xcap), np.int32)
+        e_hist_x = np.zeros((n_local, n_dev), np.int64)
+        p_hist_x = np.zeros((n_local, n_dev), np.int64)
+        for d, lst in enumerate(per_dev_x):
+            o = 0
+            for oh_i, pos_i, rec_i, asm_i in lst:
+                ln = len(oh_i)
+                x_oh[d, o:o + ln] = oh_i
+                x_pos[d, o:o + ln] = pos_i
+                x_rec[d, o:o + ln] = rec_i
+                x_asm[d, o:o + ln] = asm_i
+                # exact staging histograms for the extras (host-side): the
+                # count pre-pass only sees the stream records
+                eb = ((oh_i >> np.uint64(32)).astype(np.int64) * n_dev) >> 32
+                e_hist_x[d] += np.bincount(eb, minlength=n_dev)
+                if ln > 1:
+                    pu = np.minimum(oh_i[:-1], oh_i[1:])
+                    pb = ((pu >> np.uint64(32)).astype(np.int64) * n_dev) >> 32
+                    p_hist_x[d] += np.bincount(pb, minlength=n_dev)
+                o += ln
+        extras = (x_oh, x_pos, x_rec, x_asm)
     if multiproc:
         # ragged per-process caps (record/patch counts) pad to the global max
         from jax.experimental import multihost_utils
@@ -505,7 +674,8 @@ def build_distributed_arrays(
     asm_tab = np.zeros((n_local, scap), dtype=np.int32)
     for d in range(n_local):
         asm_tab[d] = _asm_table(
-            record_offsets, int(rec_base[d]), int(np.sum(shard_of == d)), scap
+            record_offsets, int(rec_base[d]), int(np.sum(stream_shard == d)),
+            scap,
         )
     tmask_h = np.asarray(is_target, dtype=bool)
     acap = max(8, next_pow2(len(tmask_h)))
@@ -545,6 +715,9 @@ def build_distributed_arrays(
         )
     counts_h, row_maxes, e_hist, p_hist = (np.asarray(o) for o in cnt_out)
     emit_cap = _emit_cap_for(int(counts_h.max()), int(row_maxes.max()), n)
+    if e_hist_x is not None:  # extras route through the same staging blocks
+        e_hist = e_hist + e_hist_x
+        p_hist = p_hist + p_hist_x
     per_block_max = int(max(e_hist.max(), p_hist.max(), 1))
     bucket_cap = max(1 << 10, next_pow2(per_block_max))
 
@@ -552,12 +725,27 @@ def build_distributed_arrays(
         k=kmerlen, w=windowsize, n_bases=n, offset=offset,
         emit_cap=emit_cap, bucket_cap=bucket_cap, use_pallas=use_pallas,
     )
-    out = _sharded_build_jit(
-        ins['codes'], ins['patch_pos'], ins['patch_z'],
-        ins['starts'], ins['rec_base'],
-        ins['asm_tab'], ins['tmask'],
-        spec, n_dev, mesh,
-    )
+    if extras is not None:
+        xins = _to_mesh_arrays(
+            mesh,
+            sharded=dict(x_oh=extras[0], x_pos=extras[1], x_rec=extras[2],
+                         x_asm=extras[3]),
+            replicated={},
+        )
+        out = _sharded_build_x_jit(
+            ins['codes'], ins['patch_pos'], ins['patch_z'],
+            ins['starts'], ins['rec_base'],
+            ins['asm_tab'], ins['tmask'],
+            xins['x_oh'], xins['x_pos'], xins['x_rec'], xins['x_asm'],
+            spec, n_dev, mesh,
+        )
+    else:
+        out = _sharded_build_jit(
+            ins['codes'], ins['patch_pos'], ins['patch_z'],
+            ins['starts'], ins['rec_base'],
+            ins['asm_tab'], ins['tmask'],
+            spec, n_dev, mesh,
+        )
     if multiproc:
         from jax.experimental import multihost_utils
 

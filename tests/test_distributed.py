@@ -275,3 +275,68 @@ def test_skewed_buckets_compile_once():
     np.testing.assert_array_equal(got_k, ref_k)
     np.testing.assert_array_equal(got_n, ref_n)
     np.testing.assert_array_equal(got_e, ref_e)
+
+
+def test_oversized_record_composed_into_distributed_build():
+    """Sequence sharding composed into the distributed build: a record ~10x
+    the shard budget is scanned via the halo-block path (scan_record_sharded)
+    and its emissions ride the bucket merge as extras -- byte-equal to
+    single-chip WITHOUT inflating the shared per-device stream shape."""
+    import seqwin_tpu.parallel.distributed as D
+
+    if len(jax.devices()) < 8:
+        pytest.skip('not enough devices')
+    rng = np.random.default_rng(7)
+    big = _random_records(rng, [150_000], n_frac=0.003)[0]
+    small = _random_records(rng, [2000, 1500, 1800, 2200, 1700])
+    # oversized record in the MIDDLE of the list (exercises shard termination)
+    records = [small[0], small[1], big, small[2], small[3], small[4]]
+    offsets = np.array([0, 2, 3, 5, 6], dtype=np.uintp)  # 4 assemblies
+    targets = [True, True, False, False]
+    k, w = 9, 12
+
+    specs = []
+    orig = D._sharded_build_x_jit
+
+    def spying(*args):
+        specs.append(args[-3])
+        return orig(*args)
+
+    D._sharded_build_x_jit = spying
+    try:
+        mesh = make_mesh(8)
+        got_k, got_n, got_e = build_distributed_arrays(
+            records, offsets, targets, k, w, mesh
+        )
+    finally:
+        D._sharded_build_x_jit = orig
+
+    assert len(specs) == 1, 'extras program must have been used, exactly once'
+    assert specs[0].n_bases < len(big), (
+        f'shared stream shape {specs[0].n_bases} was inflated by the '
+        f'{len(big)}-base record')
+
+    ref_k, ref_n, ref_e = _single_chip_reference(records, k, w, offsets, targets)
+    np.testing.assert_array_equal(got_k, ref_k)
+    np.testing.assert_array_equal(got_n, ref_n)
+    np.testing.assert_array_equal(got_e, ref_e)
+
+
+def test_oversized_first_and_last_records():
+    """Oversized records at the list boundaries (first record, last record)."""
+    if len(jax.devices()) < 4:
+        pytest.skip('not enough devices')
+    rng = np.random.default_rng(21)
+    big1 = _random_records(rng, [140_000], n_frac=0.002)[0]
+    big2 = _random_records(rng, [160_000], n_frac=0.002)[0]
+    small = _random_records(rng, [1000, 1200])
+    records = [big1, small[0], small[1], big2]
+    offsets = np.array([0, 2, 4], dtype=np.uintp)
+    targets = [True, False]
+    k, w = 9, 12
+
+    mesh = make_mesh(4)
+    got = build_distributed_arrays(records, offsets, targets, k, w, mesh)
+    ref = _single_chip_reference(records, k, w, offsets, targets)
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(a, b)
