@@ -363,14 +363,24 @@ def pallas_phase1(codes_aug_2d, k: int, w: int, tb: int = 512,
     return z, lo, hi
 
 
-def phase1_shapes(total_bases: int, k: int, w: int, tb: int = 512):
+def phase1_shapes(total_bases: int, k: int, w: int, tb: int = 512,
+                  quant: str = 'pow2'):
     """(rows_total, n_flat, offset) for a stream of ``total_bases`` real bases.
 
     The stream starts at ``offset`` (= hb rows of padding); output rows are
-    rounded to a power-of-two multiple of tb so jit re-traces stay bounded.
+    rounded up so jit re-traces stay bounded:
+    - ``quant='pow2'``: power-of-two multiple of tb (single-chip chunking;
+      one shape bucket per run);
+    - ``quant='eighth'``: pow2/8 steps (<= 12.5%% padding) -- used by the
+      distributed layout, where every device pays the padded scan and pow2
+      rounding costs up to 2x step time (benchmarks/scaling_accounting.py).
     """
     hb, ha = _halos(k, w)
     data_rows = max(1, -(-total_bases // L))
     r_out = max(tb, 1 << (data_rows - 1).bit_length())
+    if quant == 'eighth' and r_out > tb:
+        step = max(tb, r_out // 8)
+        r_fine = -(-data_rows // step) * step
+        r_out = min(r_out, max(tb, r_fine))
     rtotal = hb + r_out + ha
     return rtotal, rtotal * L, hb * L

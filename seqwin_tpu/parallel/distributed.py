@@ -402,7 +402,11 @@ def partition_records(record_lengths, n_dev: int):
     acc = 0
     d = 0
     for i, n in enumerate(record_lengths):
-        if acc > budget * (d + 1) and d < n_dev - 1:
+        # advance once the running total REACHES this device's share (>=,
+        # not >: with equal-size records the strict test left one extra
+        # record on every device, inflating the max shard ~12% and -- after
+        # pow2 stream padding -- costing up to 2x scan time per step)
+        if acc >= budget * (d + 1) and d < n_dev - 1:
             d += 1
         out[i] = d
         acc += int(n)
@@ -434,9 +438,14 @@ def _shard_layout(record_codes, shard_of, n_dev: int, k: int, w: int,
     if use_pallas:
         from ..engine.pallas_scan import phase1_shapes
 
-        _, n, offset = phase1_shapes(max(max_total, min_bases), k, w)
+        _, n, offset = phase1_shapes(max(max_total, min_bases), k, w,
+                                     quant='eighth')
     else:
-        n = max(min_bases, next_pow2(max(1, max_total)))
+        # pow2/8 quantization (<= 12.5% padding): every device pays the
+        # padded scan, so pow2 rounding costs up to 2x step time
+        p2 = next_pow2(max(1, max_total))
+        step = max(1 << 14, p2 // 8)
+        n = max(min_bases, min(p2, -(-max_total // step) * step))
         offset = 0
 
     scap = max(64, next_pow2(max((len(r) for r in per_dev), default=1)))

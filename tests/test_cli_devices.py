@@ -113,3 +113,32 @@ def test_pipeline_parses_each_fasta_once(tmp_path, ref_fixtures, monkeypatch):
 
     per_file = Counter(calls)
     assert per_file and all(n == 1 for n in per_file.values()), per_file
+
+
+def test_seed_pattern_flows_to_device_sketches(tmp_path, ref_fixtures, monkeypatch):
+    """--seed-pattern reaches the device sketcher through the pipeline
+    (Config.seed_pattern -> _device_jaccard -> device_sketches)."""
+    import seqwin_tpu.mash as mash_mod
+
+    seen = {}
+    real = mash_mod.device_sketches
+
+    def spying(records, kmerlen, sketchsize, seed_pattern=None, **kw):
+        seen['pattern'] = seed_pattern
+        return real(records, kmerlen, sketchsize, seed_pattern=seed_pattern, **kw)
+
+    monkeypatch.setattr(mash_mod, 'device_sketches', spying)
+    argv = [
+        '--tar-paths', str(ref_fixtures / 'targets.txt'),
+        '--neg-paths', str(ref_fixtures / 'non-targets.txt'),
+        '--prefix', str(tmp_path),
+        '--title', 'spaced',
+        '--kmerlen', '17', '--windowsize', '10',
+        '--min-len', '17', '--max-len', '200',
+        '--no-blast', '--sketch-mode', 'device',
+        '--seed-pattern', '11011011011011011',
+    ]
+    from seqwin_tpu.cli import main
+
+    assert main(argv) == 0
+    assert seen['pattern'] == '11011011011011011'
