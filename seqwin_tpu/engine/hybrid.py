@@ -213,9 +213,9 @@ def _canon_at_emitted(codes_aug, safe, k: int):
     return fwd + rev
 
 
-@functools.partial(jax.jit, static_argnames=('emit_cap', 'k'))
+@functools.partial(jax.jit, static_argnames=('emit_cap', 'k', 'extract'))
 def scan_phase2(z_clean, codes_aug, patch_pos, patch_z, starts, rec_base,
-                asm_tab, emit_cap: int, k: int):
+                asm_tab, emit_cap: int, k: int, extract: str = 'topk'):
     """Device call 2: z-patch, emission prefix-max, two-level extraction, and
     the final (record, position, out-hash) mapping -- all device-resident so
     no per-chunk host round-trip is needed.
@@ -257,21 +257,33 @@ def scan_phase2(z_clean, codes_aug, patch_pos, patch_z, starts, rec_base,
     row_cnt = jnp.sum(emit.astype(i32), axis=1)
     count = jnp.sum(row_cnt)
 
-    # per-row capacity scaled to the stream's expected emission density
-    # (emit_cap encodes ~2.5 n / (w + 1)); doubles along the retry ladder
-    cap_row = min(max(32, next_pow2(2 * emit_cap * B // max(n, 1) + 32)), B)
-    count = jnp.where(jnp.max(row_cnt) > cap_row,
-                      jnp.maximum(count, i32(emit_cap + 1)), count)
-    zz = jnp.where(emit, zr, i32(-1))
-    topv, _ = jax.lax.top_k(zz, cap_row)          # [T, cap_row] descending
-    flat = topv[:, ::-1].reshape(-1)              # globally ascending reals
-    if flat.shape[0] < emit_cap:
-        flat = jnp.concatenate(
-            [jnp.full((emit_cap - flat.shape[0],), i32(-1)), flat])
-    top2, _ = jax.lax.top_k(flat, emit_cap)
-    asc = top2[::-1]
-    n_pad = emit_cap - jnp.minimum(count, i32(emit_cap))
-    eidx = jnp.roll(asc, -n_pad)
+    if extract == 'rank':
+        # rank extraction: inclusive cumsum of emit flags is monotone, so the
+        # stream position of the (j+1)-th emission is one searchsorted per
+        # output slot; the emitted value is z at that position (the window
+        # minimum's position). No top_k, no per-row capacity -- count exact.
+        emit_flat = emit.reshape(-1)[:n]
+        ranks = jnp.cumsum(emit_flat.astype(i32))
+        j = jnp.arange(emit_cap, dtype=i32)
+        at = jnp.searchsorted(ranks, j + 1, side='left').astype(i32)
+        eidx = z[jnp.clip(at, 0, n - 1)]
+        eidx = jnp.where(j < jnp.minimum(count, i32(emit_cap)), eidx, i32(-1))
+    else:
+        # per-row capacity scaled to the stream's expected emission density
+        # (emit_cap encodes ~2.5 n / (w + 1)); doubles along the retry ladder
+        cap_row = min(max(32, next_pow2(2 * emit_cap * B // max(n, 1) + 32)), B)
+        count = jnp.where(jnp.max(row_cnt) > cap_row,
+                          jnp.maximum(count, i32(emit_cap + 1)), count)
+        zz = jnp.where(emit, zr, i32(-1))
+        topv, _ = jax.lax.top_k(zz, cap_row)          # [T, cap_row] descending
+        flat = topv[:, ::-1].reshape(-1)              # globally ascending reals
+        if flat.shape[0] < emit_cap:
+            flat = jnp.concatenate(
+                [jnp.full((emit_cap - flat.shape[0],), i32(-1)), flat])
+        top2, _ = jax.lax.top_k(flat, emit_cap)
+        asc = top2[::-1]
+        n_pad = emit_cap - jnp.minimum(count, i32(emit_cap))
+        eidx = jnp.roll(asc, -n_pad)
     safe = jnp.clip(eidx, 0, codes_aug.shape[0] - 1)
     live = eidx >= 0
     e_canon = _canon_at_emitted(codes_aug, safe, k)
@@ -615,16 +627,17 @@ def scan_chunk_device(
     # size the emission capacity from the padded buffer so all chunks of a
     # run share one phase-2 shape
     emit_cap = min(max(1 << 12, next_pow2(int(2.5 * n / (w + 1)) + 64)), n)
+    extract = os.environ.get('SEQWIN_TPU_EXTRACT', 'topk')
     if defer_sync:
         e_oh, e_pos, e_rec, count, e_asm = scan_phase2(
             z_clean, codes_aug, jnp.asarray(patch_pos_a), jnp.asarray(patch_z_a),
-            starts_j, jnp.int32(rec_base), off_j, emit_cap, k,
+            starts_j, jnp.int32(rec_base), off_j, emit_cap, k, extract,
         )
         return e_oh, e_pos, e_rec, count, e_asm  # count is a device scalar
     while True:
         e_oh, e_pos, e_rec, count, e_asm = scan_phase2(
             z_clean, codes_aug, jnp.asarray(patch_pos_a), jnp.asarray(patch_z_a),
-            starts_j, jnp.int32(rec_base), off_j, emit_cap, k,
+            starts_j, jnp.int32(rec_base), off_j, emit_cap, k, extract,
         )
         count = int(count)
         if count <= emit_cap:

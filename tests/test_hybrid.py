@@ -121,3 +121,27 @@ def test_hybrid_empty_and_tiny_records():
     got = scan_records_hybrid(records, k, w)
     for a, b in zip(got, e):
         np.testing.assert_array_equal(a, b)
+
+
+def test_rank_extraction_matches_topk(monkeypatch):
+    """SEQWIN_TPU_EXTRACT=rank (cumsum + searchsorted extraction) must emit
+    byte-identical streams to the default two-level top_k."""
+    import os
+
+    import numpy as np
+
+    from seqwin_tpu.engine.hybrid import scan_records_hybrid
+
+    rng = np.random.default_rng(33)
+    records = []
+    for n in (5000, 700, 123, 9000):
+        c = rng.integers(0, 4, size=n).astype(np.uint8)
+        c[rng.random(n) < 0.01] = 255
+        records.append(c)
+
+    monkeypatch.delenv('SEQWIN_TPU_EXTRACT', raising=False)
+    base = scan_records_hybrid(records, 17, 10)
+    monkeypatch.setenv('SEQWIN_TPU_EXTRACT', 'rank')
+    rank = scan_records_hybrid(records, 17, 10)
+    for a, b in zip(base, rank):
+        np.testing.assert_array_equal(a, b)
