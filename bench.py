@@ -45,10 +45,10 @@ SCALES = [
     ('800M', 170, 4_700_000),
     ('192M', 64, 3_000_000),
 ]
-if os.environ.get('BENCH_GENOMES'):
+if os.environ.get('BENCH_GENOMES') or os.environ.get('BENCH_GENOME_LEN'):
     SCALES = [(
         'custom',
-        int(os.environ['BENCH_GENOMES']),
+        int(os.environ.get('BENCH_GENOMES', '64')),
         int(os.environ.get('BENCH_GENOME_LEN', '3000000')),
     )]
 

@@ -161,12 +161,11 @@ class Config(BaseModel):
         if (self.max_len is not None) and (self.max_len <= self.min_len):
             raise ValueError('max_len must be greater than min_len')
         if self.seed_pattern is not None:
-            if (not self.seed_pattern
-                    or any(c not in '01' for c in self.seed_pattern)
-                    or self.seed_pattern[0] != '1'
-                    or self.seed_pattern[-1] != '1'):
-                raise ValueError(
-                    "seed_pattern must be a '1'/'0' string starting and ending with '1'")
+            # delegate to the one validator (also warns on non-palindromic
+            # patterns, which make reverse-complement hashing inconsistent)
+            from .ops.spaced import parse_seed
+
+            parse_seed(self.seed_pattern)
         if self.devices < 0:
             raise ValueError('devices must be >= 0 (0 = all local devices)')
         return self

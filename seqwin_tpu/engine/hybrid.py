@@ -213,6 +213,19 @@ def _canon_at_emitted(codes_aug, safe, k: int):
     return fwd + rev
 
 
+def extract_mode() -> str:
+    """Resolve the emission-extraction variant from SEQWIN_TPU_EXTRACT
+    ('topk' default, 'rank' alternative) with loud rejection of typos, so
+    every engine path (per-chunk, fused, distributed) A/Bs the same code."""
+    import os
+
+    mode = os.environ.get('SEQWIN_TPU_EXTRACT', 'topk')
+    if mode not in ('topk', 'rank'):
+        raise ValueError(
+            f"SEQWIN_TPU_EXTRACT={mode!r}: expected 'topk' or 'rank'")
+    return mode
+
+
 @functools.partial(jax.jit, static_argnames=('emit_cap', 'k', 'extract'))
 def scan_phase2(z_clean, codes_aug, patch_pos, patch_z, starts, rec_base,
                 asm_tab, emit_cap: int, k: int, extract: str = 'topk'):
@@ -627,7 +640,7 @@ def scan_chunk_device(
     # size the emission capacity from the padded buffer so all chunks of a
     # run share one phase-2 shape
     emit_cap = min(max(1 << 12, next_pow2(int(2.5 * n / (w + 1)) + 64)), n)
-    extract = os.environ.get('SEQWIN_TPU_EXTRACT', 'topk')
+    extract = extract_mode()
     if defer_sync:
         e_oh, e_pos, e_rec, count, e_asm = scan_phase2(
             z_clean, codes_aug, jnp.asarray(patch_pos_a), jnp.asarray(patch_z_a),

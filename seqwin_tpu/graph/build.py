@@ -173,9 +173,16 @@ def _build_impl(
                 logger.warning(
                     'low_memory is not supported by the distributed build '
                     'path; ignoring')
-            return _as_deferred(build_distributed(
+            keep = keep_codes and defer
+            res = build_distributed(
                 paths, kmerlen, windowsize, targets,
-                mesh=make_mesh(n_dev), n_cpu=n_cpu), defer)
+                mesh=make_mesh(n_dev), n_cpu=n_cpu, keep_codes=keep)
+            if keep:
+                *res, dist_codes = res
+                out = _as_deferred(tuple(res), defer)
+                out[0].record_codes = dist_codes
+                return out
+            return _as_deferred(res, defer)
 
     use_sort_engine = os.environ.get('SEQWIN_TPU_SCAN', 'hybrid') == 'sort'
     chunk_budget = LOW_MEMORY_CHUNK_BASES if low_memory else int(

@@ -50,6 +50,7 @@ from ..engine.hybrid import (
     _emission_rows,
     _host_irregular,
     _host_patch_z,
+    extract_mode,
     scan_phase1,
     scan_phase2,
 )
@@ -204,6 +205,7 @@ def _shard_step(
     e_oh, e_pos, e_rec, count, e_asm = scan_phase2(
         z_clean, codes_aug, patch_pos, patch_z, starts,
         rec_base.astype(i32), asm_tab, spec.emit_cap, spec.k,
+        extract=extract_mode(),
     )
     if extras is not None:
         # count stays scan-only (it feeds the emit_cap overflow assert);
@@ -344,20 +346,25 @@ def _count_step(codes_aug, patch_pos, patch_z, starts, spec: ShardSpec,
     mult = jnp.uint64(out_hash_mult(spec.k))
     t = (c_lo.astype(_U64) | (c_hi.astype(_U64) << _U64(32))) * mult
     oh = t ^ (t >> _U64(MULTISHIFT))
+    # the build routes the hash AT THE MINIMIZER POSITION z[p] (scan_phase2
+    # emits eidx = z, then hashes there) -- bucketing oh at the flag position
+    # p would make these histograms a statistical proxy and let bucket_cap
+    # undersize (the build then has no retry: caps are asserted exact)
+    ohz = oh[jnp.clip(z[:nc], 0, nc - 1)]
 
     # adjacency pairs = consecutive emissions within one record: recover the
     # previous emission per position with one associative scan
     iota = jnp.arange(nc, dtype=i32)
     rec_local = jnp.searchsorted(starts, iota, side='right').astype(i32) - 1
-    last_oh, last_pos, last_valid = _last_valid_scan(oh, iota, emit_c)
+    last_oh, last_pos, last_valid = _last_valid_scan(ohz, iota, emit_c)
     prev_oh = jnp.concatenate([last_oh[:1], last_oh[:-1]])
     prev_pos = jnp.concatenate([last_pos[:1], last_pos[:-1]])
     prev_valid = jnp.concatenate([jnp.zeros(1, bool), last_valid[:-1]])
     same_rec = rec_local == rec_local[jnp.clip(prev_pos, 0, nc - 1)]
     pair_ok = emit_c & prev_valid & same_rec
-    p_u = jnp.minimum(oh, prev_oh)
+    p_u = jnp.minimum(ohz, prev_oh)
 
-    e_bucket = _hash_bucket(oh, emit_c, n_dev)
+    e_bucket = _hash_bucket(ohz, emit_c, n_dev)
     p_bucket = _hash_bucket(p_u, pair_ok, n_dev)
     e_hist = jnp.stack(
         [jnp.sum((e_bucket == i32(d)).astype(i32)) for d in range(n_dev)])
@@ -515,7 +522,9 @@ def _assign_with_oversized(lengths, over: set, n_dev: int):
                 return None, None
             d += 1
             closed = False
-        elif acc > 0 and glob_acc > target * (d + 1) and d < n_dev - 1:
+        # >= like partition_records: the strict test leaves one extra record
+        # per device with equal-size records (~12% max-shard inflation)
+        elif acc > 0 and glob_acc >= target * (d + 1) and d < n_dev - 1:
             d += 1
             acc = 0
         shard_of[i] = d
@@ -815,9 +824,17 @@ def build_distributed(
     is_targets,
     mesh: Mesh | None = None,
     n_cpu: int = 1,
+    keep_codes: bool = False,
 ):
     """Full distributed graph build. Same output contract (and bytes) as the
-    single-chip `graph.build`."""
+    single-chip `graph.build`.
+
+    With ``keep_codes`` the per-assembly parsed code lists ride along as a
+    sixth return value, so callers (the device-sketch estimator) never
+    re-parse a FASTA the build already parsed.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..graph.build import U32_MAX
     from ..io.fasta import parse_fasta_codes
 
@@ -828,12 +845,16 @@ def build_distributed(
 
     record_ids: list[tuple[str, ...]] = []
     all_codes: list[np.ndarray] = []
+    per_asm_codes: list[list[np.ndarray]] | None = [] if keep_codes else None
     record_offsets = [0]
-    for p in paths:
-        ids, codes_list = parse_fasta_codes(p)
-        record_ids.append(tuple(ids))
-        all_codes.extend(codes_list)
-        record_offsets.append(record_offsets[-1] + len(ids))
+    n_workers = max(1, min(int(n_cpu), len(paths) or 1))
+    with ThreadPoolExecutor(max_workers=n_workers) as ex:
+        for ids, codes_list in ex.map(parse_fasta_codes, paths):
+            record_ids.append(tuple(ids))
+            all_codes.extend(codes_list)
+            record_offsets.append(record_offsets[-1] + len(ids))
+            if per_asm_codes is not None:
+                per_asm_codes.append(codes_list)
     if record_offsets[-1] > U32_MAX:
         raise ValueError('Total number of FASTA records exceeds uint32 range')
     offsets = np.array(record_offsets, dtype=np.uintp)
@@ -841,6 +862,8 @@ def build_distributed(
     kmers, nodes, edges = build_distributed_arrays(
         all_codes, offsets, targets, kmerlen, windowsize, mesh
     )
+    if keep_codes:
+        return kmers, nodes, edges, offsets, record_ids, per_asm_codes
     return kmers, nodes, edges, offsets, record_ids
 
 
@@ -863,7 +886,7 @@ def _seq_shard_step(codes_aug, patch_pos, patch_z, block_off, spec: ShardSpec,
     asm_tab = jnp.zeros((64,), dtype=i32)  # single pseudo-assembly
     e_oh, e_pos, e_rec, count, _ = scan_phase2(
         z_clean, codes_aug, patch_pos, patch_z, starts, i32(0), asm_tab,
-        spec.emit_cap, spec.k,
+        spec.emit_cap, spec.k, extract=extract_mode(),
     )
     idx = jnp.arange(spec.emit_cap, dtype=i32)
     live = idx < count

@@ -340,3 +340,59 @@ def test_oversized_first_and_last_records():
     ref = _single_chip_reference(records, k, w, offsets, targets)
     for a, b in zip(got, ref):
         np.testing.assert_array_equal(a, b)
+
+
+def test_count_prepass_histograms_exact():
+    """The capacity pre-pass must route on the SAME keys as the build: the
+    out-hash at the minimizer position z[p], not at the emission flag
+    position p (where they differ for ~half of all emissions). The build
+    asserts its caps are exact and has no retry ladder, so a proxy histogram
+    here would be a latent crash (regression: round-3 review finding #1)."""
+    from seqwin_tpu.engine.hybrid import _asm_table
+    from seqwin_tpu.parallel.distributed import (
+        ShardSpec,
+        _shard_layout,
+        _sharded_count_jit,
+        partition_records,
+    )
+
+    n_dev = 8
+    if len(jax.devices()) < n_dev:
+        pytest.skip('not enough devices')
+    rng = np.random.default_rng(7)
+    # long random records -> dense emission stream, every bucket populated
+    records = _random_records(rng, [30_000, 21_000, 27_000, 35_000], n_frac=0.003)
+    record_offsets = np.array([0, 2, 4], dtype=np.uintp)
+    k, w = 9, 12
+
+    shard_of = partition_records([len(c) for c in records], n_dev)
+    codes, starts, patch_pos, patch_z, rec_base, n, offset = _shard_layout(
+        records, shard_of, n_dev, k, w, use_pallas=False)
+    mesh = make_mesh(n_dev)
+    spec0 = ShardSpec(k=k, w=w, n_bases=n, offset=offset,
+                      emit_cap=0, bucket_cap=0, use_pallas=False)
+    _, _, e_hist, p_hist = (
+        np.asarray(o) for o in _sharded_count_jit(
+            jax.device_put(codes), jax.device_put(patch_pos),
+            jax.device_put(patch_z), jax.device_put(starts),
+            spec0, n_dev, mesh)
+    )
+
+    # ground truth per shard from the host reference scan (emitted hashes
+    # ARE the z-position hashes), bucketed with the build's range partition
+    def bucket(oh):
+        return ((oh >> np.uint64(32)).astype(np.int64) * n_dev) >> 32
+
+    for d in range(n_dev):
+        recs_d = [c for c, s in zip(records, shard_of) if s == d]
+        if not recs_d:
+            exp_e = np.zeros(n_dev, np.int64)
+            exp_p = np.zeros(n_dev, np.int64)
+        else:
+            oh, _, rec = scan_records_host(recs_d, k, w)
+            exp_e = np.bincount(bucket(oh), minlength=n_dev)
+            pair = rec[:-1] == rec[1:]
+            pu = np.minimum(oh[:-1], oh[1:])[pair]
+            exp_p = np.bincount(bucket(pu), minlength=n_dev)
+        np.testing.assert_array_equal(e_hist[d], exp_e, err_msg=f'e_hist dev {d}')
+        np.testing.assert_array_equal(p_hist[d], exp_p, err_msg=f'p_hist dev {d}')
