@@ -57,9 +57,9 @@ def main():
 
         t0 = time.time()
         inv_points = np.concatenate([np.arange(offset, dtype=np.int64), inv_rec])
-        irr_pos, members = hybrid._host_irregular(
-            None, starts, K, W, n, total=stream_end, inv_points=inv_points)
-        patch_z = hybrid._host_patch_z_packed(packed, members, K)
+        irr_pos, patch_z = hybrid.host_patches(
+            starts, K, W, n, total=stream_end, inv_points=inv_points,
+            packed=packed)
         t['host_irregular'] = time.time() - t0
 
         t0 = time.time()

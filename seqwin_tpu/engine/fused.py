@@ -38,12 +38,10 @@ import jax.numpy as jnp
 from .aggregate import _merge_edges, _merge_nodes, _pack_outputs, _split_outputs
 from .hybrid import (
     _asm_table,
-    _host_irregular,
     _host_layout,
-    _host_patch_z,
-    _host_patch_z_packed,
     _unpack_aug,
     extract_mode,
+    host_patches,
     scan_phase1,
     scan_phase2,
 )
@@ -174,17 +172,16 @@ def prep_chunk(record_codes, k: int, w: int, rec_base: int, n: int,
             record_codes, n, offset)
         inv_points = np.concatenate(
             [np.arange(offset, dtype=np.int64), inv_rec])
-        irr_pos, members = _host_irregular(
-            None, starts, k, w, n, total=stream_end, inv_points=inv_points)
-        patch_z = _host_patch_z_packed(payload, members, k)
+        irr_pos, patch_z = host_patches(
+            starts, k, w, n, total=stream_end, inv_points=inv_points,
+            packed=payload)
         starts_u = np.unique(starts)
         inv = inv_rec.astype(np.int32)
     else:
         payload, starts = _host_layout(record_codes, n, offset=offset)
         payload[starts] |= 64
-        irr_pos, members = _host_irregular(
-            payload, starts, k, w, n, total=stream_end, inv_points=None)
-        patch_z = _host_patch_z(payload, members, k)
+        irr_pos, patch_z = host_patches(
+            starts, k, w, n, total=stream_end, codes=payload)
         starts_u = np.zeros(0, np.int64)
         inv = np.zeros(0, np.int32)
     return ChunkPrep(

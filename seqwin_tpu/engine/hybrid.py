@@ -425,9 +425,8 @@ class _SparseValidity:
         return gap_start[g] + (q - valid_before[g])
 
 
-def _host_irregular(codes: np.ndarray, starts: np.ndarray, k: int, w: int, n: int,
-                    total: int | None = None, inv_points: np.ndarray | None = None):
-    """Enumerate irregular windows and their members, sparsely.
+def _irregular_positions(sv: '_SparseValidity', starts: np.ndarray, w: int):
+    """Positions of irregular window ends, sparsely.
 
     A window ending at valid k-mer ``p`` (with >= w valid k-mers so far in its
     record) is irregular iff a *blocker* -- an invalid k-mer position or a
@@ -435,14 +434,8 @@ def _host_irregular(codes: np.ndarray, starts: np.ndarray, k: int, w: int, n: in
     blocker interval, so the cost is O(#blockers * w), independent of N.
     The blocker definition mirrors `scan_phase1`'s ``clean`` mask exactly.
 
-    Returns:
-        (irr_pos int32[Q], members int64[Q, w]).
+    Returns sorted int64[Q].
     """
-    if total is None:
-        total = n
-    sv = _SparseValidity(codes, starts, k, total, inv_points=inv_points)
-    if sv.last < 0:
-        return np.zeros(0, np.int32), np.zeros((0, w), np.int64)
     starts64 = np.asarray(starts, dtype=np.int64)
 
     # blocker intervals = invalid k-mer intervals + [s, s] per record start
@@ -456,57 +449,126 @@ def _host_irregular(codes: np.ndarray, starts: np.ndarray, k: int, w: int, n: in
         for a, b in zip(blk_a, blk_b)
     ]
     if not cand_list:
-        return np.zeros(0, np.int32), np.zeros((0, w), np.int64)
+        return np.zeros(0, np.int64)
     cand = np.unique(np.concatenate(cand_list))
     cand = cand[sv.is_valid(cand)]
     if len(cand) == 0:
-        return np.zeros(0, np.int32), np.zeros((0, w), np.int64)
+        return np.zeros(0, np.int64)
 
     # rank within record = global rank - valid count before the record start
     c_rec = np.searchsorted(starts64, cand, side='right') - 1
     rec_start = starts64[c_rec]
     vb = rec_start - sv.invalid_leq(rec_start - 1)
     rank_in_rec = sv.rank(cand) - vb
-    sel = rank_in_rec >= w - 1
-    irr_pos = cand[sel]
-    if len(irr_pos) == 0:
-        return np.zeros(0, np.int32), np.zeros((0, w), np.int64)
-    member_ranks = sv.rank(irr_pos)[:, None] - (w - 1) + np.arange(w)[None, :]
-    members = sv.pos_of_rank(member_ranks)
-    return irr_pos.astype(np.int32), members
+    return cand[rank_in_rec >= w - 1]
 
 
-def _patch_from_mh(mh: np.ndarray, members: np.ndarray):
-    """Rightmost-argmin per irregular window given member hashes."""
-    w = members.shape[1]
-    rev = mh[:, ::-1]
-    j = np.argmin(rev, axis=1)  # first min in reversed = rightmost min
-    q = np.arange(len(members))
-    z = members[q, w - 1 - j]
-    minval = rev[q, j]
-    z = np.where(minval == np.uint64(0xFFFFFFFFFFFFFFFF), -1, z)
-    return z.astype(np.int32)
+_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-def _host_patch_z(codes: np.ndarray, members: np.ndarray, k: int):
-    """Exact rightmost-argmin per irregular window; hashes computed on host
-    (`ops/host_hash.py`), no device round-trip."""
-    if members.size == 0:
-        return np.zeros(0, np.int32)
-    from ..ops.host_hash import canon_at
+def host_patches(starts: np.ndarray, k: int, w: int, n: int,
+                 total: int | None = None,
+                 inv_points: np.ndarray | None = None,
+                 codes: np.ndarray | None = None,
+                 packed: np.ndarray | None = None):
+    """Irregular windows and their exact rightmost-argmin patches, on host.
 
-    mh = canon_at(codes, members.ravel(), k).reshape(-1, members.shape[1])
-    return _patch_from_mh(mh, members)
+    The device phase-1 scan assumes every window of w consecutive positions
+    is w consecutive VALID k-mers of ONE record; windows near blockers
+    (invalid bases, record starts) violate that and are patched here. The
+    argmin runs as a sliding-window rightmost-min in *valid-rank space*:
+    candidate windows are grouped into contiguous rank ranges, each needed
+    rank is hashed ONCE, and a two-block (per-block prefix/suffix rightmost
+    argmin) pass answers every window -- O(Q + w * #groups) hashed positions.
+    The previous [Q, w] member-matrix design hashed O(Q * w) positions,
+    which at realistic N densities (assembly gaps) meant GBs of member
+    positions and minutes of host time per chunk (measured: 194 Ns in
+    9.4 Mbp -> 38k windows -> 62 s; this path: ~100x fewer hashes).
 
+    Exactly one of ``codes`` (augmented byte stream) / ``packed`` (2-bit
+    stream, requires ``inv_points``) supplies the hash input.
 
-def _host_patch_z_packed(packed: np.ndarray, members: np.ndarray, k: int):
-    """`_host_patch_z` over a 2-bit packed stream."""
-    if members.size == 0:
-        return np.zeros(0, np.int32)
-    from ..ops.host_hash import canon_at_packed
+    Returns (irr_pos int32[Q], patch_z int32[Q]); ``patch_z`` is the stream
+    position of each window's rightmost minimal member (-1 = no minimum,
+    defensive parity with the legacy guard).
+    """
+    if total is None:
+        total = n
+    sv = _SparseValidity(codes, starts, k, total, inv_points=inv_points)
+    empty = (np.zeros(0, np.int32), np.zeros(0, np.int32))
+    if sv.last < 0:
+        return empty
+    irr_pos = _irregular_positions(sv, starts, w)
+    Q = len(irr_pos)
+    if Q == 0:
+        return empty
 
-    mh = canon_at_packed(packed, members.ravel(), k).reshape(-1, members.shape[1])
-    return _patch_from_mh(mh, members)
+    # group windows into contiguous rank ranges: window ends at rank r cover
+    # [r-w+1, r]; consecutive ends <= w ranks apart share one range
+    ranks = sv.rank(irr_pos)
+    brk = np.empty(Q, bool)
+    brk[0] = True
+    brk[1:] = np.diff(ranks) > w
+    gid = np.cumsum(brk) - 1
+    first = np.flatnonzero(brk)
+    last_i = np.append(first[1:], Q) - 1
+    lo = ranks[first] - (w - 1)          # >= 0: rank_in_rec >= w-1
+    hi = ranks[last_i]
+    lens = hi - lo + 1
+    flat_off = np.concatenate(([0], np.cumsum(lens)))
+    r_tot = int(flat_off[-1])
+
+    # hash every needed rank once
+    all_ranks = np.arange(r_tot, dtype=np.int64) + np.repeat(lo - flat_off[:-1], lens)
+    pos = sv.pos_of_rank(all_ranks)
+    if packed is not None:
+        from ..ops.host_hash import canon_at_packed
+
+        h = canon_at_packed(packed, pos, k)
+    else:
+        from ..ops.host_hash import canon_at
+
+        h = canon_at(codes, pos, k)
+
+    # two-block sliding rightmost-min over the flat rank array (block = w):
+    # a window [s, e=s+w-1] is exactly suffix-of-block(s) + prefix-of-block(e),
+    # and both parts lie inside [s, e], so blocks spanning group boundaries
+    # never leak values into any real window. Sentinel pad never queried.
+    nb = -(-r_tot // w)
+    hh = np.full(nb * w, _SENTINEL, np.uint64)
+    hh[:r_tot] = h
+    hh = hh.reshape(nb, w)
+    iota = np.arange(w)
+    # L: rightmost argmin of block[0..j] -- flag where h equals its running
+    # min (ties re-flag: rightmost wins), then last flagged index
+    runmin = np.minimum.accumulate(hh, axis=1)
+    lidx = np.maximum.accumulate(
+        np.where(hh == runmin, iota[None, :], -1), axis=1)
+    # R: rightmost argmin of block[j..end] -- in reversed coords the
+    # rightmost tie is the LAST strict improvement of the running min
+    rev = hh[:, ::-1]
+    runminr = np.minimum.accumulate(rev, axis=1)
+    rflag = np.empty(rev.shape, bool)
+    rflag[:, 0] = True
+    rflag[:, 1:] = runminr[:, 1:] < runminr[:, :-1]
+    ridx_rev = np.maximum.accumulate(np.where(rflag, iota[None, :], -1), axis=1)
+
+    f_e = flat_off[gid] + (ranks - lo[gid])
+    f_s = f_e - (w - 1)
+    be, ce = np.divmod(f_e, w)
+    bs, cs = np.divmod(f_s, w)
+    lmin = runmin[be, ce]
+    lflat = be * w + lidx[be, ce]
+    crev = w - 1 - cs
+    rmin = runminr[bs, crev]
+    rflat = bs * w + (w - 1 - ridx_rev[bs, crev])
+    use_l = lmin <= rmin  # L part is the right half: ties stay rightmost
+    zflat = np.where(use_l, lflat, rflat)
+    zmin = np.minimum(lmin, rmin)
+    z_rank = zflat - flat_off[gid] + lo[gid]
+    z_pos = sv.pos_of_rank(z_rank)
+    patch_z = np.where(zmin == _SENTINEL, -1, z_pos).astype(np.int32)
+    return irr_pos.astype(np.int32), patch_z
 
 
 def _asm_table(record_offsets, rec_base: int, n_records: int, cap: int) -> np.ndarray:
@@ -583,10 +645,10 @@ def scan_chunk_device(
     if laid is not None:
         packed, starts, inv_rec = laid
         inv_points = np.concatenate([np.arange(offset, dtype=np.int64), inv_rec])
-        irr_pos, members = _host_irregular(
-            None, starts, k, w, n, total=stream_end, inv_points=inv_points
+        irr_pos, patch_z = host_patches(
+            starts, k, w, n, total=stream_end, inv_points=inv_points,
+            packed=packed,
         )
-        patch_z = _host_patch_z_packed(packed, members, k)
 
         starts_u = np.unique(starts)  # empty records share start offsets
         sucap = max(64, next_pow2(len(starts_u)))
@@ -602,10 +664,9 @@ def scan_chunk_device(
     else:
         codes, starts = _host_layout(record_codes, n, offset=offset)
         codes[starts] |= 64
-        irr_pos, members = _host_irregular(
-            codes, starts, k, w, n, total=stream_end, inv_points=None
+        irr_pos, patch_z = host_patches(
+            starts, k, w, n, total=stream_end, codes=codes,
         )
-        patch_z = _host_patch_z(codes, members, k)
         codes_aug = jnp.asarray(codes)
 
     scap = max(64, next_pow2(len(starts)))

@@ -280,5 +280,46 @@ void sq_expand_edges(
     }
 }
 
+// Canonical ntHash at sparse positions (host hot path for irregular-window
+// patches and the vectorized NumPy builder). The caller supplies the
+// per-offset rotated seed tables fwd/rev[k][5] (`ops/host_hash.py::_tables`;
+// column 4 = invalid -> 0), so this stays a pure table-XOR loop: the tables
+// live in L1 and each position costs 2k XORs. The NumPy equivalent makes
+// ~6 full passes over [n, k] gather temporaries, which on this host's
+// 60-100 MB/s effective bandwidth measured ~19 us/position.
+void sq_canon_at(
+    const uint8_t* codes, const int64_t* pos, uint64_t n, uint64_t k,
+    const uint64_t* fwd_tab, const uint64_t* rev_tab, uint64_t* out) {
+    for (uint64_t i = 0; i < n; ++i) {
+        const uint8_t* c = codes + pos[i];
+        uint64_t f = 0, r = 0;
+        for (uint64_t j = 0; j < k; ++j) {
+            unsigned cc = c[j] & 63u;       // strip the record-start flag
+            if (cc > 4u) cc = 4u;           // non-ACGT -> zero column
+            f ^= fwd_tab[j * 5 + cc];
+            r ^= rev_tab[j * 5 + cc];
+        }
+        out[i] = f + r;                     // u64 wrap == canonical add
+    }
+}
+
+// Same over a 2-bit packed stream (4 bases/byte; positions must be valid
+// ACGT, as in the NumPy version's contract).
+void sq_canon_at_packed(
+    const uint8_t* packed, const int64_t* pos, uint64_t n, uint64_t k,
+    const uint64_t* fwd_tab, const uint64_t* rev_tab, uint64_t* out) {
+    for (uint64_t i = 0; i < n; ++i) {
+        uint64_t p = (uint64_t)pos[i];
+        uint64_t f = 0, r = 0;
+        for (uint64_t j = 0; j < k; ++j) {
+            uint64_t q = p + j;
+            unsigned cc = (packed[q >> 2] >> ((q & 3u) * 2u)) & 3u;
+            f ^= fwd_tab[j * 5 + cc];
+            r ^= rev_tab[j * 5 + cc];
+        }
+        out[i] = f + r;
+    }
+}
+
 }  // extern "C"
 

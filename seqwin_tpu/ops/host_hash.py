@@ -43,9 +43,20 @@ def _canon_from_codes(c: np.ndarray, k: int) -> np.ndarray:
 
 def canon_at(codes: np.ndarray, positions: np.ndarray, k: int) -> np.ndarray:
     """Canonical ntHash of the k-mers starting at ``positions`` (all of which
-    must be valid, i.e. k in-bounds ACGT bases)."""
+    must be valid, i.e. k in-bounds ACGT bases).
+
+    Dispatches to the C kernel (`io/native::canon_at`, ~2k L1 table XORs per
+    position) when available; the NumPy gather fallback makes ~6 passes over
+    [Q, k] temporaries, which on this host's slow memory measured
+    ~19 us/position."""
     if len(positions) == 0:
         return np.zeros(0, dtype=np.uint64)
+    from ..io import native
+
+    fwd_tab, rev_tab = _tables(k)
+    out = native.canon_at(codes, positions, k, fwd_tab, rev_tab, packed=False)
+    if out is not None:
+        return out
     offs = positions[:, None].astype(np.int64) + np.arange(k, dtype=np.int64)[None, :]
     # strip the record-start flag (bit 6); anything non-ACGT clamps to col 4
     c = np.minimum(codes[offs] & np.uint8(63), 4).astype(np.int64)
@@ -57,6 +68,12 @@ def canon_at_packed(packed: np.ndarray, positions: np.ndarray, k: int) -> np.nda
     All referenced positions must be valid ACGT bases."""
     if len(positions) == 0:
         return np.zeros(0, dtype=np.uint64)
+    from ..io import native
+
+    fwd_tab, rev_tab = _tables(k)
+    out = native.canon_at(packed, positions, k, fwd_tab, rev_tab, packed=True)
+    if out is not None:
+        return out
     offs = positions[:, None].astype(np.int64) + np.arange(k, dtype=np.int64)[None, :]
     c = ((packed[offs >> 2] >> ((offs & 3) * 2).astype(np.uint8)) & np.uint8(3)).astype(np.int64)
     return _canon_from_codes(c, k)

@@ -48,9 +48,8 @@ from ..engine.aggregate import _extract_ascending, _merge_nodes
 from ..engine.hybrid import (
     _EMIT_ROW,
     _emission_rows,
-    _host_irregular,
-    _host_patch_z,
     extract_mode,
+    host_patches,
     scan_phase1,
     scan_phase2,
 )
@@ -466,10 +465,10 @@ def _shard_layout(record_codes, shard_of, n_dev: int, k: int, w: int,
             starts[d, ri] = off
             off += len(c)
         codes[d, starts[d, :len(recs)]] |= 64
-        irr_pos, members = _host_irregular(
-            codes[d], starts[d, :len(recs)].astype(np.int64), k, w, n, total=off
-        )
-        patches.append((irr_pos, _host_patch_z(codes[d], members, k)))
+        patches.append(host_patches(
+            starts[d, :len(recs)].astype(np.int64), k, w, n, total=off,
+            codes=codes[d],
+        ))
 
     pcap = max(256, next_pow2(max((len(p[0]) for p in patches), default=1) or 1))
     patch_pos = np.full((n_dev, pcap), n, dtype=np.int32)
@@ -1001,11 +1000,10 @@ def scan_record_sharded(
         codes_aug[d, offset:offset + len(blk)] = blk
         codes_aug[d, offset] |= 64
         block_off[d] = b0  # phase-2 positions are block-local (eidx - offset)
-        irr_pos, members = _host_irregular(
-            codes_aug[d], np.array([offset], dtype=np.int64), k, w, n,
-            total=offset + len(blk),
-        )
-        patch_list.append((irr_pos, _host_patch_z(codes_aug[d], members, k)))
+        patch_list.append(host_patches(
+            np.array([offset], dtype=np.int64), k, w, n,
+            total=offset + len(blk), codes=codes_aug[d],
+        ))
     for d in range(len(plan), n_dev):
         patch_list.append((np.zeros(0, np.int32), np.zeros(0, np.int32)))
 
