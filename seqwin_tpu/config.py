@@ -43,8 +43,19 @@ HAS_MASH = shutil.which('mash') is not None
 HAS_BLAST = (shutil.which('makeblastdb') is not None) and (shutil.which('blastn') is not None)
 HAS_DATASETS = shutil.which('datasets') is not None
 
-_INPUT_FILES = ('tar_paths', 'neg_paths')
-_INPUT_DIRS = ('tar_dir', 'neg_dir', 'prefix')
+# path field -> (must-exist predicate, noun for the error message)
+_PATH_KINDS: dict[str, tuple[str, str]] = {
+    'tar_paths': ('is_file', 'file'),
+    'neg_paths': ('is_file', 'file'),
+    'tar_dir': ('is_dir', 'directory'),
+    'neg_dir': ('is_dir', 'directory'),
+    'prefix': ('is_dir', 'directory'),
+}
+# any-of-these-required input groups, by role
+_INPUT_GROUPS = (
+    ('target', ('tar_paths', 'tar_taxa', 'tar_dir')),
+    ('non-target', ('neg_paths', 'neg_taxa', 'neg_dir')),
+)
 
 
 class Config(BaseModel):
@@ -125,7 +136,7 @@ class Config(BaseModel):
     def version(self) -> str:
         return __version__
 
-    @field_validator(*_INPUT_FILES, *_INPUT_DIRS, mode='before')
+    @field_validator(*_PATH_KINDS, mode='before')
     @classmethod
     def _resolve_path(cls, v: Path | None, info: ValidationInfo) -> Path | None:
         if v is None:
@@ -134,30 +145,29 @@ class Config(BaseModel):
             path = Path(v).expanduser().resolve(strict=True)
         except OSError:
             raise ValueError(f'Path does not exist or cannot be resolved: {v!r}')
-        if info.field_name in _INPUT_FILES:
-            if not path.is_file():
-                raise ValueError(f'Not a file: {path}')
-        elif info.field_name in _INPUT_DIRS:
-            if not path.is_dir():
-                raise ValueError(f'Not a directory: {path}')
+        predicate, noun = _PATH_KINDS[info.field_name]
+        if not getattr(path, predicate)():
+            raise ValueError(f'Not a {noun}: {path}')
         return path
 
     @model_validator(mode='after')
     def _check_inputs(self) -> 'Config':
-        if (not HAS_DATASETS) and (self.tar_taxa or self.neg_taxa):
+        wants_download = self.tar_taxa or self.neg_taxa
+        if wants_download and not HAS_DATASETS:
             raise FileNotFoundError(
                 'ncbi-datasets-cli is not installed. Genomes cannot be downloaded from the '
                 'provided taxon names or IDs. Please provide local files instead'
             )
         if not self.download_only:
-            if (self.tar_paths is None) and (self.tar_taxa is None) and (self.tar_dir is None):
-                raise ValueError('You must provide at least one target input: tar_paths, tar_taxa, or tar_dir')
-            elif (self.neg_paths is None) and (self.neg_taxa is None) and (self.neg_dir is None):
-                raise ValueError('You must provide at least one non-target input: neg_paths, neg_taxa, or neg_dir')
-        if (self.penalty_th is not None) and (self.penalty_th < 0 or self.penalty_th > 1):
-            raise ValueError('penalty_th must be between [0, 1]')
-        if self.stringency < 0 or self.stringency > 10:
-            raise ValueError('stringency must be between [0, 10]')
+            for role, fields in _INPUT_GROUPS:
+                if all(getattr(self, f) is None for f in fields):
+                    raise ValueError(
+                        f'You must provide at least one {role} input: '
+                        + ', '.join(fields[:-1]) + f', or {fields[-1]}')
+        for name, lo_c, hi_c in (('penalty_th', 0, 1), ('stringency', 0, 10)):
+            val = getattr(self, name)
+            if val is not None and not lo_c <= val <= hi_c:
+                raise ValueError(f'{name} must be between [{lo_c}, {hi_c}]')
         if (self.max_len is not None) and (self.max_len <= self.min_len):
             raise ValueError('max_len must be greater than min_len')
         if self.seed_pattern is not None:
