@@ -99,3 +99,40 @@ def test_shape_budget(tmp_path, monkeypatch, k, w):
         f'growing the run recompiled {len(grow)} programs ({grow}) -- the '
         'shape bucket policy regressed'
     )
+
+
+# the deferred device-resident consumption (bench / pipeline spine) adds its
+# own programs: count + edge gather + kmer gather, all with quantized output
+# caps and TRACED thresholds so reruns at similar survivor counts recompile
+# nothing
+DEFERRED_BUDGET = 6
+
+
+@pytest.mark.parametrize('k,w', [(17, 10)])
+def test_shape_budget_deferred(tmp_path, monkeypatch, k, w):
+    monkeypatch.setattr(build_mod, 'DEFAULT_CHUNK_BASES', 1 << 14)
+    rng = np.random.default_rng(23)
+    paths, targets = [], []
+    for i in range(4):
+        codes = rng.integers(0, 4, size=6000 + 211 * i).astype(np.uint8)
+        paths.append(_write_fasta(tmp_path, f'd_{i}.fa', codes))
+        targets.append(i % 2 == 0)
+
+    def consume(th):
+        graph, offsets, rids = build_mod.build_deferred(
+            paths, k, w, targets, n_cpu=2)
+        nodes = graph.nodes
+        edges = graph.filter_edges(th)
+        keep_hashes = nodes['hash'][::2]
+        keep, out_nodes, total = build_mod.kept_node_layout(nodes, keep_hashes)
+        kmers = graph.compact_kmers(keep, total)
+        graph.release()
+        return len(nodes), len(edges), len(kmers)
+
+    _count_compiles(lambda: build_fn(paths, k, w, targets))  # warm the build
+    cold, first = _count_compiles(lambda: consume(1.0))
+    assert len(cold) <= DEFERRED_BUDGET, f'deferred consumption compiled {cold}'
+
+    # a different threshold (traced scalar) and the same data: no recompiles
+    warm, second = _count_compiles(lambda: consume(2.0))
+    assert not warm, f'deferred rerun recompiled {warm}'
