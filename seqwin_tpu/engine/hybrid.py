@@ -215,15 +215,167 @@ def _canon_at_emitted(codes_aug, safe, k: int):
 
 def extract_mode() -> str:
     """Resolve the emission-extraction variant from SEQWIN_TPU_EXTRACT
-    ('topk' default, 'rank' alternative) with loud rejection of typos, so
-    every engine path (per-chunk, fused, distributed) A/Bs the same code."""
+    ('topk' default; 'rank' and 'pfx' alternatives) with loud rejection of
+    typos, so every engine path (per-chunk, fused, distributed) A/Bs the
+    same code. 'pfx' applies to the per-chunk path only (the kernel folds
+    the emission scan; fused/distributed keep their z-stream contract)."""
     import os
 
     mode = os.environ.get('SEQWIN_TPU_EXTRACT', 'topk')
-    if mode not in ('topk', 'rank'):
+    if mode not in ('topk', 'rank', 'pfx'):
         raise ValueError(
-            f"SEQWIN_TPU_EXTRACT={mode!r}: expected 'topk' or 'rank'")
+            f"SEQWIN_TPU_EXTRACT={mode!r}: expected 'topk', 'rank' or 'pfx'")
     return mode
+
+
+@functools.partial(jax.jit, static_argnames=('offset', 'ts'))
+def pfx_from_z(z, offset: int, ts: int):
+    """XLA emulation of the kernel's 'pfx' outputs (non-TPU fallback and
+    the differential oracle for the Mosaic ladders): tile-grid inclusive
+    prefix-max of z and tile-local emission ranks, [T, ts] each."""
+    body = z[offset:]
+    T = body.shape[0] // ts
+    zt = body[:T * ts].reshape(T, ts)
+    zpfx = jax.lax.cummax(zt, axis=1)
+    prev = jnp.concatenate([jnp.full((T, 1), i32(-1)), zpfx[:, :-1]], axis=1)
+    lrank = jnp.cumsum((zpfx > prev).astype(i32), axis=1)
+    return zpfx, lrank
+
+
+def _bsearch_rows(flat, row, tgt, ts: int, side_left: bool):
+    """First in-row index where flat[row*ts + idx] >= tgt (side_left) or
+    > tgt (not side_left); rows gathered point-wise (no [Q, ts] slices)."""
+    lo = jnp.zeros_like(row)
+    hi = jnp.full_like(row, i32(ts))
+    steps = max(1, ts.bit_length())
+    base = row * i32(ts)
+    for _ in range(steps):
+        mid = (lo + hi) >> 1
+        v = flat[base + jnp.minimum(mid, i32(ts - 1))]
+        go = (v < tgt) if side_left else (v <= tgt)
+        go = go & (mid < hi)
+        lo = jnp.where(go, mid + 1, lo)
+        hi = jnp.where(go, hi, mid)
+    return lo
+
+
+@functools.partial(jax.jit, static_argnames=('emit_cap', 'k', 'offset', 'ts'))
+def scan_phase2_pfx(zpfx, lrank, codes_aug, patch_pos, patch_z, starts,
+                    rec_base, asm_tab, emit_cap: int, k: int,
+                    offset: int, ts: int):
+    """Phase 2 with the emission scan already folded into phase 1: NO
+    N-wide XLA op remains -- everything here is tile-count (T), patch-count
+    (pcap) or emit_cap scale gather arithmetic.
+
+    Foundation (also what `scan_phase2`'s global cummax rests on): the
+    window-argmin sequence of one stream is a monotone staircase -- the
+    rightmost-tie argmin advances monotonically under sliding within a
+    record (`/root/reference/cpp/vendor/btllib/minimizer.cpp:44-48`), and
+    positions grow across records. Emissions are therefore exactly the
+    staircase's distinct values, and irregular-window patches merge in on
+    the sparse side:
+
+    - kernel tiles: per-tile staircase zpfx + local ranks lrank; the
+      cross-tile carry is an exclusive max over T tile maxima, and the
+      emissions a tile double-counts (its staircase re-climbing values the
+      carry already passed) are exactly a PREFIX of its local emissions
+      (K_t, one binary search per tile).
+    - patches (values of windows the kernel marked dirty) form their own
+      staircase (cummax over patch_z in position order); each side
+      suppresses the other's non-advances, and final output slots are
+      resolved by rank arithmetic over the two monotone lists.
+
+    Returns (e_oh, e_pos, e_rec, count, e_asm) exactly like `scan_phase2`.
+    """
+    T = zpfx.shape[0]
+    zp_flat = zpfx.reshape(-1)
+    lr_flat = lrank.reshape(-1)
+    n_grid = offset + T * ts
+
+    # --- cross-tile carry + per-tile double-count correction K_t ---
+    tile_max = zpfx[:, -1]
+    carry = jnp.concatenate(
+        [jnp.full((1,), i32(-1)),
+         jax.lax.cummax(tile_max)[:-1]])
+    rows = jnp.arange(T, dtype=i32)
+    # last in-tile index with zpfx <= carry (monotone rows)
+    q = _bsearch_rows(zp_flat, rows, carry, ts, side_left=False) - 1
+    K = jnp.where(q >= 0, lr_flat[rows * i32(ts) + jnp.maximum(q, 0)], i32(0))
+    local_cnt = lrank[:, -1]
+    surv = local_cnt - K
+    cum = jnp.cumsum(surv)
+    count_g = cum[-1] if T else i32(0)
+
+    # --- the j-th clean emission: tile, in-tile rank target, position ---
+    j = jnp.arange(emit_cap, dtype=i32)
+    t_j = jnp.searchsorted(cum, j, side='right').astype(i32)
+    t_c = jnp.minimum(t_j, i32(T - 1))
+    base = cum[t_c] - surv[t_c]
+    tgt = j - base + K[t_c] + 1
+    pos_in = _bsearch_rows(lr_flat, t_c, tgt, ts, side_left=True)
+    pin_c = jnp.minimum(pos_in, i32(ts - 1))
+    gv = zp_flat[t_c * i32(ts) + pin_c]            # emitted value (min pos)
+    live_g = j < jnp.minimum(count_g, i32(emit_cap))
+    gp = jnp.where(live_g, offset + t_c * i32(ts) + pos_in, i32(2 ** 30))
+
+    # --- patch staircase (values of host-patched irregular windows) ---
+    pcap = patch_pos.shape[0]
+    pm = jax.lax.cummax(patch_z)
+    pm_prev = jnp.concatenate([jnp.full((1,), i32(-1)), pm[:-1]])
+    qp = jnp.minimum(jnp.maximum(patch_pos - i32(offset), 0), i32(T * ts - 1))
+    tq = qp // i32(ts)
+    g_at = jnp.maximum(zp_flat[qp], carry[tq])     # clean prefix at q
+    in_grid = (patch_pos >= i32(offset)) & (patch_pos < i32(n_grid))
+    flag_p = (pm > pm_prev) & (pm > g_at) & in_grid & (patch_z >= 0)
+    pfs = jnp.cumsum(flag_p.astype(i32))
+    count_p = pfs[-1] if pcap else i32(0)
+
+    # --- cross-suppression + merge ranks (all monotone-list arithmetic) ---
+    jq = jnp.searchsorted(patch_pos, gp, side='left').astype(i32)
+    pmq = jnp.where(jq > 0, pm[jnp.maximum(jq - 1, 0)], i32(-1))
+    sup_g = live_g & (pmq >= gv)
+    keep_g = live_g & ~sup_g
+    surv_ord = jnp.cumsum(keep_g.astype(i32))      # inclusive
+    nsup = jnp.cumsum(sup_g.astype(i32))
+    ps_before = jnp.where(jq > 0, pfs[jnp.maximum(jq - 1, 0)], i32(0))
+    # patch ranks: #surviving G with position < q, + own survivor ordinal
+    m_g = jnp.searchsorted(gp, patch_pos, side='left').astype(i32)
+    gs_before = m_g - jnp.where(m_g > 0, nsup[jnp.maximum(m_g - 1, 0)], i32(0))
+    rank_p = pfs - 1 + gs_before
+
+    count = count_g - (nsup[-1] if emit_cap else i32(0)) + count_p
+
+    # --- resolve output slots ---
+    r = jnp.arange(emit_cap, dtype=i32)
+    # patch survivors by ordinal: strictly increasing final ranks
+    ordp = jnp.searchsorted(pfs, jnp.arange(pcap, dtype=i32) + 1,
+                            side='left').astype(i32)
+    ordp_c = jnp.minimum(ordp, i32(pcap - 1))
+    prank_ord = jnp.where(jnp.arange(pcap, dtype=i32) < count_p,
+                          rank_p[ordp_c], i32(2 ** 30))
+    pu = jnp.searchsorted(prank_ord, r, side='left').astype(i32)
+    pu_c = jnp.minimum(pu, i32(pcap - 1))
+    is_p = (pu < i32(pcap)) & (prank_ord[pu_c] == r)
+    eidx_p = pm[ordp_c[pu_c]]
+    # G survivor with ordinal (r - #patch survivors ranked below r)
+    s_ord = r - pu
+    gj = jnp.searchsorted(surv_ord, s_ord + 1, side='left').astype(i32)
+    eidx_g = gv[jnp.minimum(gj, i32(emit_cap - 1))]
+    live = r < jnp.minimum(count, i32(emit_cap))
+    eidx = jnp.where(live, jnp.where(is_p, eidx_p, eidx_g), i32(-1))
+
+    # --- identical mapping tail to scan_phase2 ---
+    safe = jnp.clip(eidx, 0, codes_aug.shape[0] - 1)
+    live_e = eidx >= 0
+    e_canon = _canon_at_emitted(codes_aug, safe, k)
+    t = e_canon * _u64(out_hash_mult(k))
+    e_oh = jnp.where(live_e, t ^ (t >> _u64(MULTISHIFT)), _u64(0))
+    rec_local = jnp.searchsorted(starts, eidx, side='right').astype(i32) - 1
+    rec_local = jnp.clip(rec_local, 0, starts.shape[0] - 1)
+    e_pos = jnp.where(live_e, eidx - starts[rec_local], i32(0)).astype(jnp.uint32)
+    e_rec = jnp.where(live_e, rec_local + rec_base, i32(-1))
+    e_asm = jnp.where(live_e, asm_tab[rec_local], i32(0))
+    return e_oh, e_pos, e_rec, count, e_asm
 
 
 @functools.partial(jax.jit, static_argnames=('emit_cap', 'k', 'extract'))
@@ -673,21 +825,37 @@ def scan_chunk_device(
     starts_a = np.full(scap, n, dtype=np.int32)
     starts_a[:len(starts)] = starts
     starts_j = jnp.asarray(starts_a)
+    extract = extract_mode()
+    zpfx = lrank = None
+    ts_pfx = 0
     if use_pallas:
         # compiled Mosaic needs a TPU; fall back to the interpreter elsewhere
         interpret = jax.default_backend() not in ('tpu', 'axon')
         from .pallas_scan import L as _LANES
 
-        # z-only kernel output: phase 2 recomputes hashes at emissions
-        z_clean, _, _ = pallas_phase1(
-            codes_aug.reshape(rtotal, _LANES), k, w, interpret=interpret,
-            with_hashes=False,
-        )
-        tail = n - z_clean.shape[0]
-        if tail:
-            z_clean = jnp.concatenate([z_clean, jnp.full((tail,), i32(-1))])
+        if extract == 'pfx':
+            # emission scan folded into the kernel: tile staircase + ranks
+            zpfx, lrank = pallas_phase1(
+                codes_aug.reshape(rtotal, _LANES), k, w, interpret=interpret,
+                with_hashes=False, out='pfx',
+            )
+            ts_pfx = zpfx.shape[1]
+            z_clean = None
+        else:
+            # z-only kernel output: phase 2 recomputes hashes at emissions
+            z_clean, _, _ = pallas_phase1(
+                codes_aug.reshape(rtotal, _LANES), k, w, interpret=interpret,
+                with_hashes=False,
+            )
+            tail = n - z_clean.shape[0]
+            if tail:
+                z_clean = jnp.concatenate([z_clean, jnp.full((tail,), i32(-1))])
     else:
         z_clean, _, _ = scan_phase1(codes_aug, k, w, with_hashes=False)
+        if extract == 'pfx':
+            ts_pfx = min(n, 1 << 16)
+            zpfx, lrank = pfx_from_z(z_clean, offset, ts_pfx)
+            z_clean = None
 
     pcap = max(256, next_pow2(len(irr_pos) or 1))
     patch_pos_a = np.full(pcap, n, dtype=np.int32)
@@ -701,18 +869,23 @@ def scan_chunk_device(
     # size the emission capacity from the padded buffer so all chunks of a
     # run share one phase-2 shape
     emit_cap = min(max(1 << 12, next_pow2(int(2.5 * n / (w + 1)) + 64)), n)
-    extract = extract_mode()
+
+    def phase2(cap):
+        if extract == 'pfx':
+            return scan_phase2_pfx(
+                zpfx, lrank, codes_aug, jnp.asarray(patch_pos_a),
+                jnp.asarray(patch_z_a), starts_j, jnp.int32(rec_base), off_j,
+                cap, k, offset, ts_pfx,
+            )
+        return scan_phase2(
+            z_clean, codes_aug, jnp.asarray(patch_pos_a), jnp.asarray(patch_z_a),
+            starts_j, jnp.int32(rec_base), off_j, cap, k, extract,
+        )
+
     if defer_sync:
-        e_oh, e_pos, e_rec, count, e_asm = scan_phase2(
-            z_clean, codes_aug, jnp.asarray(patch_pos_a), jnp.asarray(patch_z_a),
-            starts_j, jnp.int32(rec_base), off_j, emit_cap, k, extract,
-        )
-        return e_oh, e_pos, e_rec, count, e_asm  # count is a device scalar
+        return phase2(emit_cap)  # count is a device scalar
     while True:
-        e_oh, e_pos, e_rec, count, e_asm = scan_phase2(
-            z_clean, codes_aug, jnp.asarray(patch_pos_a), jnp.asarray(patch_z_a),
-            starts_j, jnp.int32(rec_base), off_j, emit_cap, k, extract,
-        )
+        e_oh, e_pos, e_rec, count, e_asm = phase2(emit_cap)
         count = int(count)
         if count <= emit_cap:
             return e_oh, e_pos, e_rec, count, e_asm

@@ -169,7 +169,14 @@ def _take_right(l_lo, l_hi, r_lo, r_hi):
 
 
 def _make_kernel(k: int, w: int, tb: int, hb: int, rows_in: int, n_total: int,
-                 with_hashes: bool = True):
+                 with_hashes: bool = True, out_mode: str = 'z'):
+    """``out_mode='z'``: write the per-position window-argmin z.
+    ``out_mode='pfx'``: fold the emission scan into the kernel -- write the
+    tile-local inclusive prefix-max of z (the emission staircase) plus the
+    tile-local count of output-region staircase increases (local emission
+    rank). Both ladders run at VMEM speed; phase 2 then needs NO N-wide
+    XLA scan (`engine/hybrid.scan_phase2_pfx`)."""
+
     def kernel(scal_ref, codes_ref, z_ref, clo_ref=None, chi_ref=None):
         # scal_ref (SMEM i32[1,4]): [base_row, base%33, base%31, base%w]
         # NOTE: masks that get shifted/concatenated are kept in i32 -- bool
@@ -273,6 +280,37 @@ def _make_kernel(k: int, w: int, tb: int, hb: int, rows_in: int, n_total: int,
         not_max = ~((win_lo == u32(_SENT)) & (win_hi == u32(_SENT)))
         z = jnp.where(clean & not_max, win_i, i32(-1))
 
+        if out_mode == 'pfx':
+            # Hillis-Steele in-tile prefix-max of z over row-major flat
+            # order, RESET at the output region's start: the back halo's
+            # values belong to the previous tile and are fully covered by
+            # the cross-tile carry (phase 2's K_t dedups re-climbs), so the
+            # staircase here is the tile's own -- which is also what the
+            # XLA emulation (`hybrid.pfx_from_z`) computes, keeping the two
+            # paths bit-equal. Causal shifts never read the forward halo.
+            tpos = rid * i32(L) + lid
+            out0 = i32(hb * L)
+            tot = rows_in * L
+            pfx = z
+            s = 1
+            while s < tot:
+                sh = _shr_flat(pfx, s)
+                pfx = jnp.where(tpos >= i32(s) + out0,
+                                jnp.maximum(pfx, sh), pfx)
+                s <<= 1
+            # staircase increases, counted over the output region only
+            prev = jnp.where(tpos >= out0 + i32(1), _shr_flat(pfx, 1), i32(-1))
+            inc = ((pfx > prev) & (rid >= i32(hb))).astype(i32)
+            lr = inc
+            s = 1
+            while s < tot:
+                sh = _shr_flat(lr, s)
+                lr = lr + jnp.where(tpos >= i32(s), sh, i32(0))
+                s <<= 1
+            z_ref[:] = pfx[hb:hb + tb]
+            clo_ref[:] = lr[hb:hb + tb]  # lrank rides the second output slot
+            return
+
         z_ref[:] = z[hb:hb + tb]
         if with_hashes:
             clo_ref[:] = c_lo[hb:hb + tb]
@@ -289,9 +327,11 @@ def _halos(k: int, w: int) -> tuple[int, int]:
 
 
 @functools.partial(
-    jax.jit, static_argnames=('k', 'w', 'tb', 'interpret', 'with_hashes'))
+    jax.jit,
+    static_argnames=('k', 'w', 'tb', 'interpret', 'with_hashes', 'out'))
 def pallas_phase1(codes_aug_2d, k: int, w: int, tb: int = 512,
-                  interpret: bool = False, with_hashes: bool = True):
+                  interpret: bool = False, with_hashes: bool = True,
+                  out: str = 'z'):
     """Run the fused scan kernel over an (R, 128) uint8 stream.
 
     Args:
@@ -309,6 +349,9 @@ def pallas_phase1(codes_aug_2d, k: int, w: int, tb: int = 512,
     """
     rtotal, ww = codes_aug_2d.shape
     assert ww == L
+    assert out in ('z', 'pfx')
+    if out == 'pfx':
+        assert not with_hashes, 'pfx mode recomputes hashes in phase 2'
     hb, ha = _halos(k, w)
     r_out = rtotal - hb - ha
     r_out -= r_out % tb
@@ -316,10 +359,11 @@ def pallas_phase1(codes_aug_2d, k: int, w: int, tb: int = 512,
     rows_in = tb + hb + ha
     assert hb + r_out + (rows_in - tb - hb) <= rtotal
     n_total = rtotal * L
-    kernel = _make_kernel(k, w, tb, hb, rows_in, n_total, with_hashes)
+    kernel = _make_kernel(k, w, tb, hb, rows_in, n_total, with_hashes, out)
     tiles = r_out // tb
 
-    n_out = 3 if with_hashes else 1
+    n_out = 3 if with_hashes else (2 if out == 'pfx' else 1)
+    out_dtypes = (i32, i32) if out == 'pfx' else (i32, u32, u32)
     # NOTE: this toolchain's Mosaic cannot compile *gridded* pallas kernels
     # ("failed to legalize func.return"), so tiling happens at the XLA level:
     # a grid-free kernel per tile, sequenced by lax.map over dynamic slices.
@@ -327,7 +371,7 @@ def pallas_phase1(codes_aug_2d, k: int, w: int, tb: int = 512,
         kernel,
         out_shape=tuple(
             jax.ShapeDtypeStruct((tb, L), dt)
-            for dt in ((i32, u32, u32)[:n_out])
+            for dt in (out_dtypes[:n_out])
         ),
         in_specs=[
             pl.BlockSpec((1, 4), memory_space=pltpu.SMEM),
@@ -353,6 +397,9 @@ def pallas_phase1(codes_aug_2d, k: int, w: int, tb: int = 512,
     head_z = jnp.full((hb, L), i32(-1))
     tail_z = jnp.full((tail, L), i32(-1))
     z = jnp.concatenate([head_z, z2d, tail_z]).reshape(-1)
+    if out == 'pfx':
+        # (zpfx, lrank) tile grids for scan_phase2_pfx: [tiles, tb*L]
+        return z2d.reshape(tiles, tb * L), outs[1].reshape(tiles, tb * L)
     if not with_hashes:
         return z, None, None
 

@@ -145,3 +145,64 @@ def test_rank_extraction_matches_topk(monkeypatch):
     rank = scan_records_hybrid(records, 17, 10)
     for a, b in zip(base, rank):
         np.testing.assert_array_equal(a, b)
+
+
+def test_pfx_extraction_matches_topk(monkeypatch):
+    """SEQWIN_TPU_EXTRACT=pfx (emission scan folded into phase 1: tile
+    staircases + sparse-side patch merge, `scan_phase2_pfx`) must emit
+    byte-identical streams to the default two-level top_k -- including
+    irregular windows from N runs and record starts."""
+    import numpy as np
+
+    from seqwin_tpu.engine.hybrid import scan_records_hybrid
+
+    for seed in range(4):
+        rng = np.random.default_rng(100 + seed)
+        k = int(rng.integers(3, 18))
+        w = int(rng.integers(2, 30))
+        records = []
+        for n in rng.integers(1, 6000, size=int(rng.integers(1, 6))):
+            c = rng.integers(0, 4, size=int(n)).astype(np.uint8)
+            c[rng.random(int(n)) < 0.01] = 255
+            if n > 60:
+                a = int(rng.integers(0, n - 30))
+                c[a:a + int(rng.integers(1, 25))] = 255
+            records.append(c)
+        monkeypatch.delenv('SEQWIN_TPU_EXTRACT', raising=False)
+        base = scan_records_hybrid(records, k, w)
+        monkeypatch.setenv('SEQWIN_TPU_EXTRACT', 'pfx')
+        pfx = scan_records_hybrid(records, k, w)
+        for a, b in zip(base, pfx):
+            np.testing.assert_array_equal(a, b, err_msg=f'seed {seed} k={k} w={w}')
+
+
+def test_pfx_kernel_matches_emulation():
+    """The Mosaic 'pfx' ladders (in-kernel prefix-max + local ranks) must be
+    bit-equal to the XLA emulation `pfx_from_z` on the same padded stream
+    (interpret mode; the compiled kernel is gated on real TPU in
+    tests/run_tpu_smoke.py)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from seqwin_tpu.engine.hybrid import pfx_from_z
+    from seqwin_tpu.engine.pallas_scan import L, pallas_phase1, phase1_shapes
+
+    rng = np.random.default_rng(5)
+    k, w = 9, 12
+    total = 70_000
+    codes = rng.integers(0, 4, total).astype(np.uint8)
+    codes[rng.random(total) < 0.005] = 255
+    codes[0] |= 64
+    rtotal, n, offset = phase1_shapes(total, k, w, tb=512)
+    stream = np.full(n, 255, dtype=np.uint8)
+    stream[offset:offset + total] = codes
+    arr = jnp.asarray(stream).reshape(rtotal, L)
+    z, _, _ = pallas_phase1(arr, k, w, interpret=True, with_hashes=False)
+    tail = n - z.shape[0]
+    if tail:
+        z = jnp.concatenate([z, jnp.full((tail,), jnp.int32(-1))])
+    zp_e, lr_e = pfx_from_z(z, offset, 512 * L)
+    zp_k, lr_k = pallas_phase1(
+        arr, k, w, interpret=True, with_hashes=False, out='pfx')
+    np.testing.assert_array_equal(np.asarray(zp_k), np.asarray(zp_e))
+    np.testing.assert_array_equal(np.asarray(lr_k), np.asarray(lr_e))
