@@ -69,7 +69,7 @@ def main() -> None:
             actual['record_offsets'], expected['record_offsets'])
         print('GRAPH_NPZ_OK', flush=True)
 
-        print('[2/2] full pipeline on TPU...', flush=True)
+        print('[2/4] full pipeline on TPU...', flush=True)
         run_cli([*common, '--title', 'full'])
         act = (prefix / 'full' / 'signatures.fasta').read_bytes()
         exp = (FIX / 'expected' / 'signatures.fasta').read_bytes()
@@ -77,8 +77,26 @@ def main() -> None:
             raise SystemExit('FAIL: signatures.fasta differs from the golden')
         print('GOLDEN_FASTA_OK', flush=True)
 
+        # the alternative extraction variants must be byte-equal with the
+        # COMPILED kernels too (the unit suite only covers interpret mode)
+        import os
+
+        for i, mode in enumerate(('rank', 'pfx')):
+            print(f'[{3 + i}/4] full pipeline, SEQWIN_TPU_EXTRACT={mode}...',
+                  flush=True)
+            os.environ['SEQWIN_TPU_EXTRACT'] = mode
+            try:
+                run_cli([*common, '--title', f'full_{mode}'])
+            finally:
+                os.environ.pop('SEQWIN_TPU_EXTRACT', None)
+            act_m = (prefix / f'full_{mode}' / 'signatures.fasta').read_bytes()
+            if act_m != exp:
+                raise SystemExit(
+                    f'FAIL: signatures.fasta ({mode} extraction) differs')
+            print(f'GOLDEN_FASTA_OK ({mode})', flush=True)
+
     print('PASS: compiled-Mosaic TPU smoke gate (graph.npz + signatures.fasta '
-          'byte-equal to the reference goldens)')
+          'byte-equal to the reference goldens; topk/rank/pfx extraction)')
 
 
 if __name__ == '__main__':
