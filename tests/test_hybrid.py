@@ -206,3 +206,54 @@ def test_pfx_kernel_matches_emulation():
         arr, k, w, interpret=True, with_hashes=False, out='pfx')
     np.testing.assert_array_equal(np.asarray(zp_k), np.asarray(zp_e))
     np.testing.assert_array_equal(np.asarray(lr_k), np.asarray(lr_e))
+
+
+def test_pfx_extraction_edge_cases(monkeypatch):
+    """Targeted pfx-vs-topk edges: all-N, sub-window records, constant
+    sequences (all ties), blockers at stream/tile boundaries, a whole
+    kernel tile of Ns, empty records."""
+    import numpy as np
+
+    from seqwin_tpu.engine.hybrid import scan_chunk_device
+
+    def run(extract, records, k, w):
+        monkeypatch.setenv('SEQWIN_TPU_EXTRACT', extract)
+        r = scan_chunk_device(records, k, w, min_chunk=1 << 12)
+        monkeypatch.delenv('SEQWIN_TPU_EXTRACT')
+        if r[0] is None:
+            return None
+        return tuple(np.asarray(x) for x in (r[0], r[1], r[2], r[4])) + (int(r[3]),)
+
+    rng = np.random.default_rng(0)
+    k, w = 5, 4
+    nb = rng.integers(0, 4, 140_000).astype(np.uint8)
+    nb[65530:65545] = 255
+    tile_n = rng.integers(0, 4, 140_000).astype(np.uint8)
+    tile_n[65536:131072] = 255
+    alt = rng.integers(0, 4, 400).astype(np.uint8)
+    alt[::2] = 255
+    polyn = np.zeros(500, np.uint8)
+    polyn[250] = 255
+    cases = [
+        (k, w, [np.full(100, 255, np.uint8)]),
+        (k, w, [rng.integers(0, 4, k + w - 1).astype(np.uint8)]),
+        (k, w, [rng.integers(0, 4, k + w - 2).astype(np.uint8)]),
+        (k, w, [np.zeros(500, np.uint8)]),
+        (k, w, [polyn]),
+        (k, w, [alt]),
+        (k, w, [rng.integers(0, 4, 200).astype(np.uint8),
+                np.zeros(0, np.uint8),
+                rng.integers(0, 4, 200).astype(np.uint8)]),
+        (9, 300, [rng.integers(0, 4, 1000).astype(np.uint8)]),
+        (9, 12, [nb]),
+        (9, 12, [tile_n]),
+    ]
+    for kk, ww, records in cases:
+        a = run('topk', records, kk, ww)
+        b = run('pfx', records, kk, ww)
+        if a is None or b is None:
+            assert a is None and b is None
+            continue
+        assert a[4] == b[4]
+        for x, y in zip(a[:4], b[:4]):
+            np.testing.assert_array_equal(x, y)
