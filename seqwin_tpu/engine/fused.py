@@ -40,7 +40,7 @@ from .hybrid import (
     _asm_table,
     _host_layout,
     _unpack_aug,
-    extract_mode,
+    z_extract_mode,
     host_patches,
     scan_phase1,
     scan_phase2,
@@ -118,7 +118,7 @@ def _fused_build(payload, starts_u, inv, stream_end, starts, patch_pos,
         z_clean = _phase1_in_body(codes_aug, spec)
         return scan_phase2(
             z_clean, codes_aug, pp_c, pz_c, starts_c, rb_c, at_c,
-            spec.emit_cap, spec.k, extract=extract_mode(),
+            spec.emit_cap, spec.k, extract=z_extract_mode(),
         )
 
     e_oh, e_pos, e_rec, counts, e_asm = jax.lax.map(

@@ -34,11 +34,14 @@ oracle, including heavy-N and short-record cases.
 from __future__ import annotations
 
 import functools
+import logging
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
 
 from ..ops.hashing import M64, MULTISHIFT, SEEDS, SEEDS_COMP, out_hash_mult
 from .minimizer import (
@@ -225,6 +228,19 @@ def extract_mode() -> str:
     if mode not in ('topk', 'rank', 'pfx'):
         raise ValueError(
             f"SEQWIN_TPU_EXTRACT={mode!r}: expected 'topk', 'rank' or 'pfx'")
+    return mode
+
+
+def z_extract_mode() -> str:
+    """`extract_mode` for the z-stream paths (fused, distributed), which
+    implement only 'topk'/'rank': 'pfx' downgrades to 'topk' with a warning
+    instead of silently mislabeling an A/B measurement."""
+    mode = extract_mode()
+    if mode == 'pfx':
+        logger.warning(
+            "SEQWIN_TPU_EXTRACT=pfx applies to the per-chunk path only; "
+            "this path uses 'topk'")
+        return 'topk'
     return mode
 
 

@@ -48,7 +48,7 @@ from ..engine.aggregate import _extract_ascending, _merge_nodes
 from ..engine.hybrid import (
     _EMIT_ROW,
     _emission_rows,
-    extract_mode,
+    z_extract_mode,
     host_patches,
     scan_phase1,
     scan_phase2,
@@ -204,7 +204,7 @@ def _shard_step(
     e_oh, e_pos, e_rec, count, e_asm = scan_phase2(
         z_clean, codes_aug, patch_pos, patch_z, starts,
         rec_base.astype(i32), asm_tab, spec.emit_cap, spec.k,
-        extract=extract_mode(),
+        extract=z_extract_mode(),
     )
     if extras is not None:
         # count stays scan-only (it feeds the emit_cap overflow assert);
@@ -885,7 +885,7 @@ def _seq_shard_step(codes_aug, patch_pos, patch_z, block_off, spec: ShardSpec,
     asm_tab = jnp.zeros((64,), dtype=i32)  # single pseudo-assembly
     e_oh, e_pos, e_rec, count, _ = scan_phase2(
         z_clean, codes_aug, patch_pos, patch_z, starts, i32(0), asm_tab,
-        spec.emit_cap, spec.k, extract=extract_mode(),
+        spec.emit_cap, spec.k, extract=z_extract_mode(),
     )
     idx = jnp.arange(spec.emit_cap, dtype=i32)
     live = idx < count
