@@ -68,6 +68,9 @@ class FusedSpec:
     edge_cap: int
     use_pallas: bool
     packed: bool      # inputs are 2-bit packed + sparse exceptions
+    # extraction variant, static on the spec (not read at trace time: a
+    # cached program would silently keep the mode it was traced with)
+    extract: str = 'topk'
 
 
 @dataclass
@@ -118,7 +121,7 @@ def _fused_build(payload, starts_u, inv, stream_end, starts, patch_pos,
         z_clean = _phase1_in_body(codes_aug, spec)
         return scan_phase2(
             z_clean, codes_aug, pp_c, pz_c, starts_c, rb_c, at_c,
-            spec.emit_cap, spec.k, extract=z_extract_mode(),
+            spec.emit_cap, spec.k, extract=spec.extract,
         )
 
     e_oh, e_pos, e_rec, counts, e_asm = jax.lax.map(
@@ -296,6 +299,7 @@ def build_fused(
             k=kmerlen, w=windowsize, n=n, offset=offset, rtotal=rtotal,
             emit_cap=emit_cap, out_cap=out_cap, node_cap=node_cap,
             edge_cap=edge_cap, use_pallas=use_pallas, packed=packed,
+            extract=z_extract_mode(),
         )
         out = _fused_build(*ins, spec)
         meta = np.asarray(out[10])

@@ -250,8 +250,14 @@ def pfx_from_z(z, offset: int, ts: int):
     the differential oracle for the Mosaic ladders): tile-grid inclusive
     prefix-max of z and tile-local emission ranks, [T, ts] each."""
     body = z[offset:]
+    # pad to a whole tile with -1 (no emissions, staircase-neutral) -- a
+    # truncation here would silently drop the tail's minimizers whenever the
+    # padded chunk size is not a tile multiple (non-pow2 chunk budgets)
+    pad = (-body.shape[0]) % ts
+    if pad:
+        body = jnp.concatenate([body, jnp.full((pad,), i32(-1))])
     T = body.shape[0] // ts
-    zt = body[:T * ts].reshape(T, ts)
+    zt = body.reshape(T, ts)
     zpfx = jax.lax.cummax(zt, axis=1)
     prev = jnp.concatenate([jnp.full((T, 1), i32(-1)), zpfx[:, :-1]], axis=1)
     lrank = jnp.cumsum((zpfx > prev).astype(i32), axis=1)
@@ -353,13 +359,19 @@ def scan_phase2_pfx(zpfx, lrank, codes_aug, patch_pos, patch_z, starts,
     keep_g = live_g & ~sup_g
     surv_ord = jnp.cumsum(keep_g.astype(i32))      # inclusive
     nsup = jnp.cumsum(sup_g.astype(i32))
-    ps_before = jnp.where(jq > 0, pfs[jnp.maximum(jq - 1, 0)], i32(0))
     # patch ranks: #surviving G with position < q, + own survivor ordinal
     m_g = jnp.searchsorted(gp, patch_pos, side='left').astype(i32)
     gs_before = m_g - jnp.where(m_g > 0, nsup[jnp.maximum(m_g - 1, 0)], i32(0))
     rank_p = pfs - 1 + gs_before
 
     count = count_g - (nsup[-1] if emit_cap else i32(0)) + count_p
+    # the suppression/merge bookkeeping (nsup, surv_ord, gp) only covers the
+    # first emit_cap CLEAN emissions; if the clean count alone overflows,
+    # patch suppressions could pull the reported total back under the cap
+    # and the caller would accept a corrupt tail -- force the retry instead
+    # (the topk path's cap_row bump is the same guard)
+    count = jnp.where(count_g > i32(emit_cap),
+                      jnp.maximum(count, i32(emit_cap + 1)), count)
 
     # --- resolve output slots ---
     r = jnp.arange(emit_cap, dtype=i32)

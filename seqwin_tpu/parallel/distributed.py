@@ -81,6 +81,10 @@ class ShardSpec:
     emit_cap: int       # per-shard emission capacity
     bucket_cap: int     # per-(src, dst) all_to_all block size
     use_pallas: bool
+    # emission-extraction variant, carried HERE (static, part of the jit
+    # cache key) rather than read from the env at trace time -- a cached
+    # program would otherwise silently keep the mode it was traced with
+    extract: str = 'topk'
 
     @property
     def rx_size(self) -> int:
@@ -204,7 +208,7 @@ def _shard_step(
     e_oh, e_pos, e_rec, count, e_asm = scan_phase2(
         z_clean, codes_aug, patch_pos, patch_z, starts,
         rec_base.astype(i32), asm_tab, spec.emit_cap, spec.k,
-        extract=z_extract_mode(),
+        extract=spec.extract,
     )
     if extras is not None:
         # count stays scan-only (it feeds the emit_cap overflow assert);
@@ -741,6 +745,7 @@ def build_distributed_arrays(
     spec = ShardSpec(
         k=kmerlen, w=windowsize, n_bases=n, offset=offset,
         emit_cap=emit_cap, bucket_cap=bucket_cap, use_pallas=use_pallas,
+        extract=z_extract_mode(),
     )
     if extras is not None:
         xins = _to_mesh_arrays(
@@ -885,7 +890,7 @@ def _seq_shard_step(codes_aug, patch_pos, patch_z, block_off, spec: ShardSpec,
     asm_tab = jnp.zeros((64,), dtype=i32)  # single pseudo-assembly
     e_oh, e_pos, e_rec, count, _ = scan_phase2(
         z_clean, codes_aug, patch_pos, patch_z, starts, i32(0), asm_tab,
-        spec.emit_cap, spec.k, extract=z_extract_mode(),
+        spec.emit_cap, spec.k, extract=spec.extract,
     )
     idx = jnp.arange(spec.emit_cap, dtype=i32)
     live = idx < count
@@ -1018,7 +1023,7 @@ def scan_record_sharded(
     while True:
         spec = ShardSpec(
             k=k, w=w, n_bases=n, offset=offset, emit_cap=emit_cap,
-            bucket_cap=1, use_pallas=use_pallas,
+            bucket_cap=1, use_pallas=use_pallas, extract=z_extract_mode(),
         )
         oh, pos, n_keep, has_bridge, carry_oh, first_oh, overflow = _seq_sharded_jit(
             jnp.asarray(codes_aug), jnp.asarray(patch_pos), jnp.asarray(patch_z),

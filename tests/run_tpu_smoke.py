@@ -57,7 +57,7 @@ def main() -> None:
             '--neg-paths', FIX / 'non-targets.txt',
             '--prefix', prefix, *SHARED,
         ]
-        print('[1/2] --no-filter graph build on TPU...', flush=True)
+        print('[1/4] --no-filter graph build on TPU...', flush=True)
         run_cli([*common, '--title', 'graph', '--no-filter'])
         actual = np.load(prefix / 'graph' / 'graph.npz', allow_pickle=False)
         expected = np.load(FIX / 'expected' / 'graph.npz', allow_pickle=False)

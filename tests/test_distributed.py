@@ -362,7 +362,6 @@ def test_count_prepass_histograms_exact():
     rng = np.random.default_rng(7)
     # long random records -> dense emission stream, every bucket populated
     records = _random_records(rng, [30_000, 21_000, 27_000, 35_000], n_frac=0.003)
-    record_offsets = np.array([0, 2, 4], dtype=np.uintp)
     k, w = 9, 12
 
     shard_of = partition_records([len(c) for c in records], n_dev)

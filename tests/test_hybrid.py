@@ -204,8 +204,12 @@ def test_pfx_kernel_matches_emulation():
     zp_e, lr_e = pfx_from_z(z, offset, 512 * L)
     zp_k, lr_k = pallas_phase1(
         arr, k, w, interpret=True, with_hashes=False, out='pfx')
-    np.testing.assert_array_equal(np.asarray(zp_k), np.asarray(zp_e))
-    np.testing.assert_array_equal(np.asarray(lr_k), np.asarray(lr_e))
+    # the emulation pads the trailing halo rows into one extra (empty) tile
+    T = np.asarray(zp_k).shape[0]
+    np.testing.assert_array_equal(np.asarray(zp_k), np.asarray(zp_e)[:T])
+    np.testing.assert_array_equal(np.asarray(lr_k), np.asarray(lr_e)[:T])
+    assert (np.asarray(zp_e)[T:] == -1).all()
+    assert (np.asarray(lr_e)[T:] == 0).all()
 
 
 def test_pfx_extraction_edge_cases(monkeypatch):
@@ -257,3 +261,47 @@ def test_pfx_extraction_edge_cases(monkeypatch):
         assert a[4] == b[4]
         for x, y in zip(a[:4], b[:4]):
             np.testing.assert_array_equal(x, y)
+
+
+def test_pfx_overflow_with_patch_suppression_forces_retry():
+    """When the CLEAN emission count alone exceeds emit_cap, patch
+    suppressions must not pull the reported count back under the cap -- the
+    bookkeeping only covers the first emit_cap clean emissions, so accepting
+    such a result would return a corrupt tail (round-3 review finding #1)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from seqwin_tpu.engine.hybrid import pfx_from_z, scan_phase2_pfx
+
+    n = 1 << 12
+    ts = 1 << 10
+    emit_cap = 32
+    # strictly increasing z -> 39 clean emissions; position 5 is a patched
+    # (irregular) window, so its kernel z is -1
+    z = np.full(n, -1, np.int32)
+    z[:40] = np.arange(40)
+    z[5] = -1
+    zpfx, lrank = pfx_from_z(jnp.asarray(z), 0, ts)
+    # the patch at position 5 has value 35: suppresses clean values 6..35
+    pcap = 256
+    patch_pos = np.full(pcap, n, np.int32)
+    patch_z = np.full(pcap, -1, np.int32)
+    patch_pos[0] = 5
+    patch_z[0] = 35
+    starts = jnp.asarray(np.array([0, n], np.int32))
+    asm_tab = jnp.zeros(2, jnp.int32)
+    codes = jnp.zeros(n, jnp.uint8)
+    _, _, _, count, _ = scan_phase2_pfx(
+        zpfx, lrank, codes, jnp.asarray(patch_pos), jnp.asarray(patch_z),
+        starts, jnp.int32(0), asm_tab, emit_cap, 3, 0, ts)
+    assert int(count) > emit_cap, (
+        f'count {int(count)} must force the emit-cap retry')
+    # with a sufficient cap the result is exact: 0..4, the patch's 35
+    # (suppressing clean 6..35), then 36..39
+    e_oh, e_pos, e_rec, count2, _ = scan_phase2_pfx(
+        zpfx, lrank, codes, jnp.asarray(patch_pos), jnp.asarray(patch_z),
+        starts, jnp.int32(0), asm_tab, 64, 3, 0, ts)
+    assert int(count2) == 10, int(count2)
+    got = np.asarray(e_pos)[np.asarray(e_rec) >= 0]
+    np.testing.assert_array_equal(
+        got, np.array([0, 1, 2, 3, 4, 35, 36, 37, 38, 39]))
