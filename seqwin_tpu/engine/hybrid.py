@@ -232,14 +232,15 @@ def extract_mode() -> str:
 
 
 def z_extract_mode() -> str:
-    """`extract_mode` for the z-stream paths (fused, distributed), which
-    implement only 'topk'/'rank': 'pfx' downgrades to 'topk' with a warning
-    instead of silently mislabeling an A/B measurement."""
+    """`extract_mode` for the remaining z-stream paths (the fused engine and
+    `scan_record_sharded`'s block program), which implement only
+    'topk'/'rank': 'pfx' downgrades to 'topk' with a warning instead of
+    silently mislabeling an A/B measurement. The per-chunk AND the main
+    distributed programs support 'pfx' natively."""
     mode = extract_mode()
     if mode == 'pfx':
         logger.warning(
-            "SEQWIN_TPU_EXTRACT=pfx applies to the per-chunk path only; "
-            "this path uses 'topk'")
+            "SEQWIN_TPU_EXTRACT=pfx does not apply to this path; using 'topk'")
         return 'topk'
     return mode
 

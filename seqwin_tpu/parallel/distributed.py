@@ -48,10 +48,13 @@ from ..engine.aggregate import _extract_ascending, _merge_nodes
 from ..engine.hybrid import (
     _EMIT_ROW,
     _emission_rows,
-    z_extract_mode,
+    extract_mode,
     host_patches,
+    pfx_from_z,
     scan_phase1,
     scan_phase2,
+    scan_phase2_pfx,
+    z_extract_mode,
 )
 from ..engine.minimizer import next_pow2
 from ..ops.hashing import MULTISHIFT, out_hash_mult
@@ -204,12 +207,38 @@ def _shard_step(
     asm_tab = asm_tab.reshape(-1)
     is_target = is_target.reshape(-1)
 
-    z_clean, _, _ = _shard_phase1(codes_aug, spec)
-    e_oh, e_pos, e_rec, count, e_asm = scan_phase2(
-        z_clean, codes_aug, patch_pos, patch_z, starts,
-        rec_base.astype(i32), asm_tab, spec.emit_cap, spec.k,
-        extract=spec.extract,
-    )
+    if spec.extract == 'pfx':
+        # emission scan folded into phase 1 (same scheme as the per-chunk
+        # path: tile staircases + sparse-side patch merge)
+        if spec.use_pallas:
+            from ..engine.pallas_scan import (
+                L as _LANES,
+                pallas_phase1,
+            )
+
+            interpret = jax.default_backend() not in ('tpu', 'axon')
+            zpfx, lrank = pallas_phase1(
+                codes_aug.reshape(-1, _LANES), spec.k, spec.w,
+                interpret=interpret, with_hashes=False, out='pfx',
+            )
+            ts = zpfx.shape[1]
+        else:
+            z_clean, _, _ = scan_phase1(
+                codes_aug, spec.k, spec.w, with_hashes=False)
+            ts = min(spec.n_bases, 1 << 16)
+            zpfx, lrank = pfx_from_z(z_clean, spec.offset, ts)
+        e_oh, e_pos, e_rec, count, e_asm = scan_phase2_pfx(
+            zpfx, lrank, codes_aug, patch_pos, patch_z, starts,
+            rec_base.astype(i32), asm_tab, spec.emit_cap, spec.k,
+            spec.offset, ts,
+        )
+    else:
+        z_clean, _, _ = _shard_phase1(codes_aug, spec)
+        e_oh, e_pos, e_rec, count, e_asm = scan_phase2(
+            z_clean, codes_aug, patch_pos, patch_z, starts,
+            rec_base.astype(i32), asm_tab, spec.emit_cap, spec.k,
+            extract=spec.extract,
+        )
     if extras is not None:
         # count stays scan-only (it feeds the emit_cap overflow assert);
         # extras land in m via the routed rec >= 0 mask
@@ -341,6 +370,14 @@ def _count_step(codes_aug, patch_pos, patch_z, starts, spec: ShardSpec,
     row_max = jnp.max(jnp.sum(emit_r.astype(i32), axis=1))
     emit = emit_r.reshape(-1)[:z.shape[0]]
     count = jnp.sum(emit.astype(i32))
+    if spec.extract == 'pfx':
+        # scan_phase2_pfx forces its overflow retry on the CLEAN-only count
+        # (patch suppressions may shrink the total below it), so emit_cap
+        # must cover that count too or the "caps are exact" assert trips
+        _, emit_rc = _emission_rows(z_clean)
+        count = jnp.maximum(
+            count,
+            jnp.sum(emit_rc.reshape(-1)[:z.shape[0]].astype(i32)))
 
     # out-hash per position, elementwise (emissions never land in the
     # trimmed pallas tail, so slicing to the hash buffer length is exact)
@@ -722,6 +759,7 @@ def build_distributed_arrays(
     spec0 = ShardSpec(
         k=kmerlen, w=windowsize, n_bases=n, offset=offset,
         emit_cap=0, bucket_cap=0, use_pallas=use_pallas,
+        extract=extract_mode(),
     )
     cnt_out = _sharded_count_jit(
         ins['codes'], ins['patch_pos'], ins['patch_z'], ins['starts'],
@@ -745,7 +783,7 @@ def build_distributed_arrays(
     spec = ShardSpec(
         k=kmerlen, w=windowsize, n_bases=n, offset=offset,
         emit_cap=emit_cap, bucket_cap=bucket_cap, use_pallas=use_pallas,
-        extract=z_extract_mode(),
+        extract=extract_mode(),
     )
     if extras is not None:
         xins = _to_mesh_arrays(

@@ -395,3 +395,25 @@ def test_count_prepass_histograms_exact():
             exp_p = np.bincount(bucket(pu), minlength=n_dev)
         np.testing.assert_array_equal(e_hist[d], exp_e, err_msg=f'e_hist dev {d}')
         np.testing.assert_array_equal(p_hist[d], exp_p, err_msg=f'p_hist dev {d}')
+
+
+@pytest.mark.parametrize('extract', ['rank', 'pfx'])
+def test_build_distributed_extract_variants(extract, monkeypatch):
+    """The distributed build must be byte-equal under every extraction
+    variant (the main shard program supports pfx natively; spec.extract is
+    part of the jit cache key)."""
+    n_dev = 8
+    if len(jax.devices()) < n_dev:
+        pytest.skip('not enough devices')
+    rng = np.random.default_rng(17)
+    records = _random_records(rng, [900, 1500, 300, 1100, 700], n_frac=0.02)
+    offsets = np.array([0, 2, 5], dtype=np.uintp)
+    targets = [True, False]
+    k, w = 9, 12
+
+    ref = _single_chip_reference(records, k, w, offsets, targets)
+    monkeypatch.setenv('SEQWIN_TPU_EXTRACT', extract)
+    got = build_distributed_arrays(
+        records, offsets, targets, k, w, make_mesh(n_dev))
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(a, b)
