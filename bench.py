@@ -1,11 +1,18 @@
 """Benchmark: end-to-end minimizer graph build throughput on one chip.
 
-Prints ONE JSON line. Headline: minimizers/s at the REFERENCE scale
-(~800 Mbp: 170 genomes x 4.7 Mbp, the 171-Salmonella-class workload the
-baseline was measured on), median of N samples; `value_min` and the
-192 Mbp secondary scale ride in the same JSON (`scales`), with every raw
-sample, so both the typical-case and lower-bound numbers are recorded
-(relay transfer bandwidth swings several-fold between builds -- PERF.md).
+Prints ONE JSON line per completed scale (each a complete result; the LAST
+line is the most complete -- parse that). Headline: minimizers/s at the
+REFERENCE scale (~800 Mbp: 170 genomes x 4.7 Mbp, the 171-Salmonella-class
+workload the baseline was measured on) when it completes within the budget;
+otherwise the 192 Mbp scale (run FIRST so a slow relay window still records
+the round-over-round number -- round 3's single-JSON-at-the-end protocol
+timed out and recorded nothing).
+
+Wall-clock budget: BENCH_BUDGET_S (default 900 s) covers EVERYTHING --
+dataset generation, remote-compile warmup, and samples. Phases check the
+deadline before starting; sample counts shrink automatically when single
+builds run slow (relay bandwidth swings several-fold between windows,
+PERF.md). SIGTERM/SIGINT mid-run still emits the best JSON so far.
 
 Baseline: the reference builds 8,346,500 minimizers in 6.55 s on 4 CPU
 threads (~1.27 M minimizers/s; `/root/repo/BASELINE.md`, golden run log
@@ -19,13 +26,16 @@ what `KmerGraph` actually pays (`pipeline/kmers.py`):
   -> device k-mer compaction of kept nodes (survivors d2h).
 The full k-mer stream stays device-resident (`graph.build_deferred`): the
 pipeline provably never consumes the ~99% of k-mers the filter discards
-(reference run: 61,907 of 7.94 M kept), so shipping them -- as the
-reference's own build does -- is not part of the work a user waits for.
-Subgraph search / marker extraction are excluded on both sides (the
-reference's 6.55 s build metric excludes them too).
+(reference run: 61,907 of 7.94 M kept). METHODOLOGY BREAK vs round 2
+(which timed the full-materialization build, like the reference's 6.55 s
+does): one extra sample per scale therefore times the deferred build PLUS
+`graph.materialize()` (full kmers+edges d2h) and is reported as
+`materialize_s` / `vs_baseline_materialized` for the apples-to-apples
+comparison. Subgraph search / marker extraction are excluded on both sides.
 """
 import json
 import os
+import signal
 import sys
 import tempfile
 import time
@@ -38,19 +48,76 @@ BASELINE_MIN_PER_S = 8_346_500 / 6.55  # reference: 4-thread CPU build
 K = 21
 W = 200
 N_SAMPLES = int(os.environ.get('BENCH_SAMPLES', '5'))
+BUDGET_S = float(os.environ.get('BENCH_BUDGET_S', '900'))
+T_START = time.time()
+DEADLINE = T_START + BUDGET_S
 
-# (label, n_genomes, genome_len): reference scale first (headline), then the
-# fast 192 Mbp scale used for round-over-round comparisons.
+# (label, n_genomes, genome_len). FAST scale first: it records the
+# round-over-round number even if the budget kills the headline scale.
+# '800M' is the reference scale and becomes the headline when it completes.
 SCALES = [
-    ('800M', 170, 4_700_000),
     ('192M', 64, 3_000_000),
+    ('800M', 170, 4_700_000),
 ]
+HEADLINE_PREFERENCE = ['800M', '192M', 'custom']
 if os.environ.get('BENCH_GENOMES') or os.environ.get('BENCH_GENOME_LEN'):
     SCALES = [(
         'custom',
         int(os.environ.get('BENCH_GENOMES', '64')),
         int(os.environ.get('BENCH_GENOME_LEN', '3000000')),
     )]
+
+METHODOLOGY = (
+    'timed region = deferred device-resident build (build_deferred + edge '
+    'filter + kept-kmer compaction; full k-mer stream never crosses d2h); '
+    'estimator = median of N timed builds (min also reported; relay '
+    'bandwidth is bimodal, PERF.md). BREAK vs round 2: round-2 vs_baseline '
+    'timed full materialization with the min-of-5 estimator -- compare '
+    'round-2 records against materialize_s / vs_baseline_materialized_* '
+    'here, not the headline.'
+)
+
+_scales: dict = {}        # label -> per-scale result dict (mutated in place)
+_last_emitted = None
+
+
+def remaining() -> float:
+    return DEADLINE - time.time()
+
+
+def emit() -> None:
+    """Print a complete result JSON line from everything measured so far."""
+    if not _scales:
+        return
+    for label in HEADLINE_PREFERENCE:
+        if label in _scales and _scales[label].get('min_per_s_median'):
+            head_label, head = label, _scales[label]
+            break
+    else:
+        return
+    result = {
+        'metric': 'graph_build_minimizers_per_s',
+        'value': head['min_per_s_median'],
+        'unit': 'minimizers/s',
+        'vs_baseline': head['vs_baseline_median'],
+        'value_min': head['min_per_s_min'],
+        'vs_baseline_min': head['vs_baseline_min'],
+        'headline_scale': head_label,
+        'estimator': 'median of timed samples (min also reported)',
+        'methodology': METHODOLOGY,
+        'budget_s': BUDGET_S,
+        'elapsed_s': round(time.time() - T_START, 1),
+        'scales': _scales,
+    }
+    if 'vs_baseline_materialized_median' in head:
+        result['vs_baseline_materialized'] = (
+            head['vs_baseline_materialized_median'])
+    global _last_emitted
+    line = json.dumps({k: v for k, v in result.items() if k != 'elapsed_s'})
+    if line == _last_emitted:
+        return
+    _last_emitted = line
+    print(json.dumps(result), flush=True)
 
 
 def synth_dataset(tmp: Path, n_genomes: int, genome_len: int):
@@ -82,9 +149,11 @@ def synth_dataset(tmp: Path, n_genomes: int, genome_len: int):
     return paths, targets
 
 
-def one_build(paths, targets):
+def one_build(paths, targets, materialize: bool = False):
     """One timed sample: deferred build + the pipeline's device consumption
-    (threshold math on host f64, edge filter, kept-kmer compaction)."""
+    (threshold math on host f64, edge filter, kept-kmer compaction). With
+    ``materialize``, additionally pull the FULL kmers+edges arrays to host
+    (the round-2 / reference-comparable transfer)."""
     from seqwin_tpu.graph.build import build_deferred, kept_node_layout
 
     graph, record_offsets, record_ids = build_deferred(paths, K, W, targets, n_cpu=8)
@@ -106,6 +175,11 @@ def one_build(paths, targets):
     keep_hashes = nodes['hash'][nodes['penalty'] <= p_th]
     keep, out_nodes, total = kept_node_layout(nodes, keep_hashes)
     kmers = graph.compact_kmers(keep, total)
+    if materialize:
+        full_kmers, full_edges = graph.materialize()
+        # touch the host arrays so lazy views cannot defer the copy
+        _ = (int(full_kmers['pos'][:1].sum()) if len(full_kmers) else 0,
+             int(full_edges['weight'][:1].sum()) if len(full_edges) else 0)
     # force materialization of every host-bound byte before stopping the clock
     stats = (graph.n_kmers, len(nodes), graph.n_edges, len(edges), len(kmers),
              int(edges['weight'][:1].sum()) if len(edges) else 0,
@@ -115,40 +189,83 @@ def one_build(paths, targets):
 
 
 def bench_scale(label: str, n_genomes: int, genome_len: int) -> dict:
+    res = _scales.setdefault(label, {'status': 'datagen'})
     with tempfile.TemporaryDirectory() as td:
         tmp = Path(td)
         t0 = time.time()
         paths, targets = synth_dataset(tmp, n_genomes, genome_len)
         gen = time.time() - t0
+        res['datagen_s'] = round(gen, 1)
 
+        res['status'] = 'warmup'
         t0 = time.time()
         stats = one_build(paths, targets)
         warm = time.time() - t0
+        res['warmup_s'] = round(warm, 1)
+        print(f'# [{label}] warmup {warm:.1f}s (datagen {gen:.1f}s, '
+              f'{remaining():.0f}s left)', file=sys.stderr, flush=True)
 
+        res['status'] = 'sampling'
         times = []
-        for _ in range(N_SAMPLES):
+        n_target = N_SAMPLES
+        for i in range(N_SAMPLES):
+            if i >= n_target:
+                break
+            # leave room for the sample itself (est. = slowest so far)
+            est = max(times) * 1.1 if times else warm * 0.5
+            if times and remaining() < est:
+                print(f'# [{label}] budget stop after {len(times)} samples',
+                      file=sys.stderr, flush=True)
+                break
             t0 = time.time()
             stats = one_build(paths, targets)
-            times.append(time.time() - t0)
+            dt = time.time() - t0
+            times.append(dt)
+            _update(res, stats, times)
+            if dt > 45 and n_target > 3:
+                n_target = 3  # slow relay window: 3 samples is enough signal
+        print(
+            f'# [{label}] {stats[0]} minimizers, {stats[1]} nodes, {stats[2]} '
+            f'edges ({stats[3]} kept, {stats[4]} kmers kept); builds '
+            f'{sorted(round(t, 2) for t in times)}; {n_genomes} genomes x '
+            f'{genome_len} bp, k={K}, w={W}', file=sys.stderr, flush=True)
 
+        # one materialized sample (round-2 / reference-comparable timing);
+        # first call may compile the full-pack program (~45 s remote)
+        if times and remaining() > max(times) * 1.5 + 60:
+            res['status'] = 'materialize'
+            t0 = time.time()
+            stats = one_build(paths, targets, materialize=True)
+            mat = time.time() - t0
+            n_min = stats[0]
+            res['materialize_s'] = round(mat, 3)
+            res['vs_baseline_materialized_median'] = round(
+                n_min / mat / BASELINE_MIN_PER_S, 3)
+            print(f'# [{label}] materialized build {mat:.2f}s',
+                  file=sys.stderr, flush=True)
+    res['status'] = 'done'
+    return res
+
+
+def _update(res: dict, stats, times) -> None:
     n_min = stats[0]
     t_min, t_med = min(times), float(np.median(times))
-    print(
-        f'# [{label}] {n_min} minimizers, {stats[1]} nodes, {stats[2]} edges '
-        f'({stats[3]} kept, {stats[4]} kmers kept); builds {sorted(round(t, 2) for t in times)} '
-        f'(warmup {warm:.1f}s, datagen {gen:.1f}s); '
-        f'{n_genomes} genomes x {genome_len} bp, k={K}, w={W}',
-        file=sys.stderr, flush=True,
+    res.update(
+        n_minimizers=n_min,
+        min_per_s_median=round(n_min / t_med, 1),
+        min_per_s_min=round(n_min / t_min, 1),
+        vs_baseline_median=round(n_min / t_med / BASELINE_MIN_PER_S, 3),
+        vs_baseline_min=round(n_min / t_min / BASELINE_MIN_PER_S, 3),
+        samples_s=[round(t, 3) for t in times],
     )
-    return {
-        'n_minimizers': n_min,
-        'min_per_s_median': round(n_min / t_med, 1),
-        'min_per_s_min': round(n_min / t_min, 1),
-        'vs_baseline_median': round(n_min / t_med / BASELINE_MIN_PER_S, 3),
-        'vs_baseline_min': round(n_min / t_min / BASELINE_MIN_PER_S, 3),
-        'samples_s': [round(t, 3) for t in times],
-        'warmup_s': round(warm, 1),
-    }
+
+
+class _Timeout(Exception):
+    pass
+
+
+def _sig(signum, frame):
+    raise _Timeout(signal.Signals(signum).name)
 
 
 def main() -> None:
@@ -157,25 +274,32 @@ def main() -> None:
 
         logging.basicConfig(level=logging.DEBUG, stream=sys.stderr)
         logging.getLogger('jax').setLevel(logging.WARNING)
+    signal.signal(signal.SIGTERM, _sig)
+    signal.signal(signal.SIGINT, _sig)
     import seqwin_tpu  # noqa: F401  (x64 on)
 
-    scales = {}
-    for label, n_genomes, genome_len in SCALES:
-        scales[label] = bench_scale(label, n_genomes, genome_len)
-
-    head = scales[SCALES[0][0]]
-    result = {
-        'metric': 'graph_build_minimizers_per_s',
-        'value': head['min_per_s_median'],
-        'unit': 'minimizers/s',
-        'vs_baseline': head['vs_baseline_median'],
-        'value_min': head['min_per_s_min'],
-        'vs_baseline_min': head['vs_baseline_min'],
-        'headline_scale': SCALES[0][0],
-        'estimator': f'median of {N_SAMPLES} (min also reported)',
-        'scales': scales,
-    }
-    print(json.dumps(result))
+    try:
+        for i, (label, n_genomes, genome_len) in enumerate(SCALES):
+            if i > 0:
+                # warmup estimate for the next scale: its remote compiles are
+                # mostly shared with the first scale's, but merge/emission cap
+                # buckets differ -> budget the first scale's warmup again,
+                # plus datagen + 2 samples' worth of build time
+                first = _scales[SCALES[0][0]]
+                need = (first.get('warmup_s', 120)
+                        + 4.2 * max(first.get('samples_s', [30]))
+                        + 90)
+                if remaining() < need:
+                    print(f'# skipping {label}: {remaining():.0f}s left < '
+                          f'{need:.0f}s estimated', file=sys.stderr, flush=True)
+                    _scales[label] = {'status': 'skipped_budget'}
+                    continue
+            bench_scale(label, n_genomes, genome_len)
+            emit()
+    except _Timeout as e:
+        print(f'# stopped by {e}', file=sys.stderr, flush=True)
+    finally:
+        emit()
 
 
 if __name__ == '__main__':
