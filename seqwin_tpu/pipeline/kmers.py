@@ -32,7 +32,7 @@ class KmerGraph:
     """
 
     __slots__ = (
-        'kmers', 'nodes', 'edges', 'record_offsets', 'graph', 'node_penalty',
+        '_kmers', 'nodes', '_edges', 'record_offsets', 'graph', 'node_penalty',
         'subgraphs', '_is_filtered', '_graph',
     )
 
@@ -96,6 +96,30 @@ class KmerGraph:
         self.subgraphs = None
         self._is_filtered = False
         self._graph = graph
+
+    @property
+    def kmers(self) -> NDArray | None:
+        """Full KMER_DTYPE array. While the build is deferred (device-resident
+        stream, see `build_deferred`) the first access materializes it -- the
+        pre-round-3 contract where `.kmers` was populated at construction."""
+        if self._kmers is None and getattr(self, '_graph', None) is not None:
+            self.materialize()
+        return self._kmers
+
+    @kmers.setter
+    def kmers(self, value) -> None:
+        self._kmers = value
+
+    @property
+    def edges(self) -> NDArray | None:
+        """Full EDGE_DTYPE array; lazily materialized like `kmers`."""
+        if self._edges is None and getattr(self, '_graph', None) is not None:
+            self.materialize()
+        return self._edges
+
+    @edges.setter
+    def edges(self, value) -> None:
+        self._edges = value
 
     def materialize(self) -> None:
         """Transfer the full kmers/edges arrays to host (the `--no-filter`

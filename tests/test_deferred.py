@@ -81,6 +81,24 @@ def test_host_graph_interface_matches_device(built):
     np.testing.assert_array_equal(he, edges)
 
 
+def test_kmers_edges_lazy_access_materializes(fixture_paths):
+    """Pre-round-3 API contract: `.kmers`/`.edges` readable right after
+    construction. With the deferred build they lazily materialize on first
+    access (advisor round-3 finding) instead of silently returning None."""
+    from seqwin_tpu.assemblies import Assemblies
+    from seqwin_tpu.pipeline.kmers import KmerGraph
+
+    targets = [True, True, False, False]
+    kmers, nodes, edges, *_ = build(fixture_paths, K, W, targets)
+
+    asm = Assemblies(fixture_paths[:2], fixture_paths[2:])
+    kg = KmerGraph(asm, K, W, n_cpu=2, low_memory=False)
+    assert kg._graph is not None  # still deferred
+    np.testing.assert_array_equal(kg.kmers, kmers)   # triggers materialize()
+    np.testing.assert_array_equal(kg.edges, edges)
+    assert kg._graph is None  # device buffers released after materialization
+
+
 def test_pipeline_deferred_matches_numpy_backend(tmp_path):
     """Full KmerGraph.filter() through the deferred device path vs the
     host-array numpy backend: identical kept kmers/nodes/edges/subgraphs."""
