@@ -40,10 +40,13 @@ from .hybrid import (
     _asm_table,
     _host_layout,
     _unpack_aug,
-    z_extract_mode,
+    extract_mode,
     host_patches,
+    pfx_phase1,
     scan_phase1,
     scan_phase2,
+    scan_phase2_pfx,
+    use_pallas_phase1,
 )
 from .minimizer import next_pow2
 
@@ -118,6 +121,14 @@ def _fused_build(payload, starts_u, inv, stream_end, starts, patch_pos,
                 payload_c, starts_u_c, inv_c, se_c, spec.n, spec.offset)
         else:
             codes_aug = payload_c
+        if spec.extract == 'pfx':
+            zpfx, lrank, ts = pfx_phase1(
+                codes_aug, spec.k, spec.w, spec.n, spec.offset,
+                spec.use_pallas)
+            return scan_phase2_pfx(
+                zpfx, lrank, codes_aug, pp_c, pz_c, starts_c, rb_c, at_c,
+                spec.emit_cap, spec.k, spec.offset, ts,
+            )
         z_clean = _phase1_in_body(codes_aug, spec)
         return scan_phase2(
             z_clean, codes_aug, pp_c, pz_c, starts_c, rb_c, at_c,
@@ -247,14 +258,9 @@ def build_fused(
     Returns (kmers, nodes, edges) structured arrays, or None when the fused
     path cannot run this input (emission overflow -> caller falls back).
     """
-    import os
     from time import time as _now
 
-    mode = os.environ.get('SEQWIN_TPU_PHASE1', 'auto')
-    use_pallas = (
-        jax.default_backend() in ('tpu', 'axon') if mode == 'auto'
-        else mode == 'pallas'
-    )
+    use_pallas = use_pallas_phase1()
     if use_pallas:
         from .pallas_scan import phase1_shapes
 
@@ -299,7 +305,7 @@ def build_fused(
             k=kmerlen, w=windowsize, n=n, offset=offset, rtotal=rtotal,
             emit_cap=emit_cap, out_cap=out_cap, node_cap=node_cap,
             edge_cap=edge_cap, use_pallas=use_pallas, packed=packed,
-            extract=z_extract_mode(),
+            extract=extract_mode(),
         )
         out = _fused_build(*ins, spec)
         meta = np.asarray(out[10])

@@ -219,9 +219,9 @@ def _canon_at_emitted(codes_aug, safe, k: int):
 def extract_mode() -> str:
     """Resolve the emission-extraction variant from SEQWIN_TPU_EXTRACT
     ('topk' default; 'rank' and 'pfx' alternatives) with loud rejection of
-    typos, so every engine path (per-chunk, fused, distributed) A/Bs the
-    same code. 'pfx' applies to the per-chunk path only (the kernel folds
-    the emission scan; fused/distributed keep their z-stream contract)."""
+    typos, so every engine path (per-chunk, fused, main distributed, and
+    the sequence-sharded block program) A/Bs the same code. All four paths
+    implement all three variants natively since round 4."""
     import os
 
     mode = os.environ.get('SEQWIN_TPU_EXTRACT', 'topk')
@@ -231,18 +231,37 @@ def extract_mode() -> str:
     return mode
 
 
-def z_extract_mode() -> str:
-    """`extract_mode` for the remaining z-stream paths (the fused engine and
-    `scan_record_sharded`'s block program), which implement only
-    'topk'/'rank': 'pfx' downgrades to 'topk' with a warning instead of
-    silently mislabeling an A/B measurement. The per-chunk AND the main
-    distributed programs support 'pfx' natively."""
-    mode = extract_mode()
-    if mode == 'pfx':
-        logger.warning(
-            "SEQWIN_TPU_EXTRACT=pfx does not apply to this path; using 'topk'")
-        return 'topk'
-    return mode
+def use_pallas_phase1() -> bool:
+    """Resolve the phase-1 implementation: the Mosaic kernel on real TPU
+    backends, the XLA scan elsewhere; SEQWIN_TPU_PHASE1 overrides."""
+    import os
+
+    mode = os.environ.get('SEQWIN_TPU_PHASE1', 'auto')
+    if mode == 'auto':
+        return jax.default_backend() in ('tpu', 'axon')
+    return mode == 'pallas'
+
+
+def pfx_phase1(codes_aug, k: int, w: int, n_bases: int, offset: int,
+               use_pallas: bool):
+    """Phase 1 for the 'pfx' extraction: per-tile emission staircases
+    (zpfx) + local ranks (lrank), from the Mosaic kernel on TPU or the XLA
+    emulation elsewhere. Returns (zpfx, lrank, ts) ready for
+    `scan_phase2_pfx`. Shared by every engine path (per-chunk, fused, main
+    distributed, sequence-sharded blocks) so they A/B the same code."""
+    if use_pallas:
+        from .pallas_scan import L as _LANES, pallas_phase1
+
+        interpret = jax.default_backend() not in ('tpu', 'axon')
+        zpfx, lrank = pallas_phase1(
+            codes_aug.reshape(-1, _LANES), k, w,
+            interpret=interpret, with_hashes=False, out='pfx',
+        )
+        return zpfx, lrank, zpfx.shape[1]
+    z_clean, _, _ = scan_phase1(codes_aug, k, w, with_hashes=False)
+    ts = min(n_bases, 1 << 16)
+    zpfx, lrank = pfx_from_z(z_clean, offset, ts)
+    return zpfx, lrank, ts
 
 
 @functools.partial(jax.jit, static_argnames=('offset', 'ts'))
@@ -793,19 +812,13 @@ def scan_chunk_device(
         defer_sync. ``e_asm`` is the per-entry assembly index when
         ``record_offsets`` is given (else zeros).
     """
-    import os
-
     total = int(sum(len(c) for c in record_codes))
     if total == 0 or not record_codes:
         return None, None, None, 0, None
 
-    mode = os.environ.get('SEQWIN_TPU_PHASE1', 'auto')
-    if mode == 'auto':
-        # the fused Mosaic kernel is the fast path on real TPUs; elsewhere the
-        # XLA phase-1 avoids the (slow) pallas interpreter
-        use_pallas = jax.default_backend() in ('tpu', 'axon')
-    else:
-        use_pallas = mode == 'pallas'
+    # the fused Mosaic kernel is the fast path on real TPUs; elsewhere the
+    # XLA phase-1 avoids the (slow) pallas interpreter
+    use_pallas = use_pallas_phase1()
     # Pad every chunk of a run to the same bucket (min_chunk = the chunk
     # budget): remote-compile round-trips dominate warmup, so one shape per
     # program beats tighter padding.

@@ -50,11 +50,11 @@ from ..engine.hybrid import (
     _emission_rows,
     extract_mode,
     host_patches,
-    pfx_from_z,
+    pfx_phase1,
     scan_phase1,
     scan_phase2,
     scan_phase2_pfx,
-    z_extract_mode,
+    use_pallas_phase1,
 )
 from ..engine.minimizer import next_pow2
 from ..ops.hashing import MULTISHIFT, out_hash_mult
@@ -210,23 +210,9 @@ def _shard_step(
     if spec.extract == 'pfx':
         # emission scan folded into phase 1 (same scheme as the per-chunk
         # path: tile staircases + sparse-side patch merge)
-        if spec.use_pallas:
-            from ..engine.pallas_scan import (
-                L as _LANES,
-                pallas_phase1,
-            )
-
-            interpret = jax.default_backend() not in ('tpu', 'axon')
-            zpfx, lrank = pallas_phase1(
-                codes_aug.reshape(-1, _LANES), spec.k, spec.w,
-                interpret=interpret, with_hashes=False, out='pfx',
-            )
-            ts = zpfx.shape[1]
-        else:
-            z_clean, _, _ = scan_phase1(
-                codes_aug, spec.k, spec.w, with_hashes=False)
-            ts = min(spec.n_bases, 1 << 16)
-            zpfx, lrank = pfx_from_z(z_clean, spec.offset, ts)
+        zpfx, lrank, ts = pfx_phase1(
+            codes_aug, spec.k, spec.w, spec.n_bases, spec.offset,
+            spec.use_pallas)
         e_oh, e_pos, e_rec, count, e_asm = scan_phase2_pfx(
             zpfx, lrank, codes_aug, patch_pos, patch_z, starts,
             rec_base.astype(i32), asm_tab, spec.emit_cap, spec.k,
@@ -601,8 +587,6 @@ def build_distributed_arrays(
     ``record_offsets``/``is_target``; the mesh spans all processes and the
     bucket merge crosses DCN transparently.
     """
-    import os
-
     from ..graph.dtypes import EDGE_DTYPE, KMER_DTYPE, NODE_DTYPE
 
     multiproc = jax.process_count() > 1
@@ -612,11 +596,7 @@ def build_distributed_arrays(
     )
     n_dev = mesh.devices.size
     if use_pallas is None:
-        mode = os.environ.get('SEQWIN_TPU_PHASE1', 'auto')
-        use_pallas = (
-            jax.default_backend() in ('tpu', 'axon') if mode == 'auto'
-            else mode == 'pallas'
-        )
+        use_pallas = use_pallas_phase1()
     # --- sequence sharding composed into the distributed build ---
     # A record larger than ~2x the balanced per-device share would inflate
     # the SHARED padded stream shape for every device (the reference streams
@@ -923,13 +903,22 @@ def _seq_shard_step(codes_aug, patch_pos, patch_z, block_off, spec: ShardSpec,
     patch_z = patch_z.reshape(-1)
     block_off = block_off.reshape(())
 
-    z_clean, _, _ = _shard_phase1(codes_aug, spec)
     starts = jnp.full((64,), spec.n_bases, dtype=jnp.int32).at[0].set(spec.offset)
     asm_tab = jnp.zeros((64,), dtype=i32)  # single pseudo-assembly
-    e_oh, e_pos, e_rec, count, _ = scan_phase2(
-        z_clean, codes_aug, patch_pos, patch_z, starts, i32(0), asm_tab,
-        spec.emit_cap, spec.k, extract=spec.extract,
-    )
+    if spec.extract == 'pfx':
+        zpfx, lrank, ts = pfx_phase1(
+            codes_aug, spec.k, spec.w, spec.n_bases, spec.offset,
+            spec.use_pallas)
+        e_oh, e_pos, e_rec, count, _ = scan_phase2_pfx(
+            zpfx, lrank, codes_aug, patch_pos, patch_z, starts, i32(0),
+            asm_tab, spec.emit_cap, spec.k, spec.offset, ts,
+        )
+    else:
+        z_clean, _, _ = _shard_phase1(codes_aug, spec)
+        e_oh, e_pos, e_rec, count, _ = scan_phase2(
+            z_clean, codes_aug, patch_pos, patch_z, starts, i32(0), asm_tab,
+            spec.emit_cap, spec.k, extract=spec.extract,
+        )
     idx = jnp.arange(spec.emit_cap, dtype=i32)
     live = idx < count
     gpos = jnp.where(live, e_pos.astype(i64) + block_off, i64(-1))
@@ -1000,8 +989,6 @@ def scan_record_sharded(
     Returns ((oh, pos, rec) trimmed scan-order arrays, bridge_pairs) --
     identical to the single-chip scan of the whole record.
     """
-    import os
-
     from ..engine.hybrid import _record_block_plan
 
     if record_offsets is not None:
@@ -1011,11 +998,7 @@ def scan_record_sharded(
         asm_idx = 0
 
     if use_pallas is None:
-        mode = os.environ.get('SEQWIN_TPU_PHASE1', 'auto')
-        use_pallas = (
-            jax.default_backend() in ('tpu', 'axon') if mode == 'auto'
-            else mode == 'pallas'
-        )
+        use_pallas = use_pallas_phase1()
     n_dev = mesh.devices.size
     codes = np.asarray(codes)
     budget = max(1 << 12, -(-len(codes) // n_dev))
@@ -1061,7 +1044,7 @@ def scan_record_sharded(
     while True:
         spec = ShardSpec(
             k=k, w=w, n_bases=n, offset=offset, emit_cap=emit_cap,
-            bucket_cap=1, use_pallas=use_pallas, extract=z_extract_mode(),
+            bucket_cap=1, use_pallas=use_pallas, extract=extract_mode(),
         )
         oh, pos, n_keep, has_bridge, carry_oh, first_oh, overflow = _seq_sharded_jit(
             jnp.asarray(codes_aug), jnp.asarray(patch_pos), jnp.asarray(patch_z),

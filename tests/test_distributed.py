@@ -109,6 +109,29 @@ def test_scan_record_sharded_matches_single(n_dev):
     assert all(u <= v for u, v, _ in bridges)
 
 
+@pytest.mark.parametrize('extract', ['rank', 'pfx'])
+def test_scan_record_sharded_extract_variants(extract, monkeypatch):
+    """The sequence-sharded block program supports every extraction variant
+    natively (round 4; previously pfx downgraded to topk with a warning) and
+    reproduces the unsplit scan exactly."""
+    n_dev = 4
+    if len(jax.devices()) < n_dev:
+        pytest.skip('not enough devices')
+    rng = np.random.default_rng(29)
+    n = 120_000
+    codes = rng.integers(0, 4, size=n).astype(np.uint8)
+    codes[rng.random(n) < 0.002] = 255
+    k, w = 15, 40
+
+    ref_oh, ref_pos, ref_rec = scan_records_host([codes], k, w)
+    monkeypatch.setenv('SEQWIN_TPU_EXTRACT', extract)
+    (oh, pos, rec), _bridges = scan_record_sharded(
+        codes, k, w, make_mesh(n_dev))
+    np.testing.assert_array_equal(oh, ref_oh)
+    np.testing.assert_array_equal(pos, ref_pos)
+    np.testing.assert_array_equal(rec, ref_rec)
+
+
 def test_multihost_partition_contiguous_and_balanced():
     from seqwin_tpu.parallel.multihost import partition_paths
 

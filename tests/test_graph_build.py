@@ -171,3 +171,36 @@ def test_fused_matches_classic_and_fallback(tmp_path, monkeypatch):
     c2 = build(paths2, 13, 30, targets2)
     for a, b in zip(f2[:4], c2[:4]):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize('extract', ['rank', 'pfx'])
+def test_fused_extract_variants_match_classic(tmp_path, monkeypatch, extract):
+    """The fused one-program build supports every extraction variant
+    natively (round 4; previously pfx downgraded to topk with a warning)
+    and stays byte-identical to the per-chunk topk build."""
+    import importlib
+
+    build_mod = importlib.import_module('seqwin_tpu.graph.build')
+    monkeypatch.setattr(build_mod, 'DEFAULT_CHUNK_BASES', 1 << 15)
+
+    rng = np.random.default_rng(23)
+    alpha = np.frombuffer(b'ACGTN', dtype=np.uint8)
+    paths, targets = [], []
+    for i in range(3):
+        n = int(rng.integers(15_000, 40_000))
+        g = rng.integers(0, 4, size=n).astype(np.uint8)
+        g[rng.random(n) < 0.02] = 4
+        p = tmp_path / f'g{i}.fasta'
+        p.write_text(f'>r{i}\n' + alpha[g].tobytes().decode() + '\n')
+        paths.append(p)
+        targets.append(i < 2)
+
+    monkeypatch.delenv('SEQWIN_TPU_EXTRACT', raising=False)
+    monkeypatch.setenv('SEQWIN_TPU_FUSED', '0')
+    classic = build(paths, 13, 30, targets)
+
+    monkeypatch.setenv('SEQWIN_TPU_FUSED', '1')
+    monkeypatch.setenv('SEQWIN_TPU_EXTRACT', extract)
+    fused = build(paths, 13, 30, targets)
+    for a, b in zip(fused[:4], classic[:4]):
+        np.testing.assert_array_equal(a, b)
