@@ -169,14 +169,11 @@ def _build_impl(
                 f'Requested {devices} devices but only {n_avail} are '
                 f'available; using {n_dev}')
         if n_dev > 1:
-            if low_memory:
-                logger.warning(
-                    'low_memory is not supported by the distributed build '
-                    'path; ignoring')
             keep = keep_codes and defer
             res = build_distributed(
                 paths, kmerlen, windowsize, targets,
-                mesh=make_mesh(n_dev), n_cpu=n_cpu, keep_codes=keep)
+                mesh=make_mesh(n_dev), n_cpu=n_cpu, keep_codes=keep,
+                low_memory=low_memory)
             if keep:
                 *res, dist_codes = res
                 out = _as_deferred(tuple(res), defer)

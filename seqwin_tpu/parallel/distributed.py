@@ -839,6 +839,85 @@ def build_distributed_arrays(
     return kmers, nodes, edges
 
 
+def merge_graph_parts(parts):
+    """Host merge of per-batch (kmers, nodes, edges) builds into the arrays
+    ONE build over all records would produce, byte-exact.
+
+    Valid whenever the batches partition WHOLE assemblies in global record
+    order: the once-per-assembly node/edge counts of disjoint assembly sets
+    add (`/root/reference/cpp/src/seqwin/graph.cpp:128-159` counts each
+    (hash, assembly) pair once), adjacency pairs never span records (so
+    never span batches), and per-node k-mer segments concatenate in batch
+    order = global scan order. Backbone of the distributed `low_memory`
+    mode (`build_distributed(low_memory=True)`).
+    """
+    from ..graph.dtypes import EDGE_DTYPE, KMER_DTYPE, NODE_DTYPE
+
+    if len(parts) == 1:
+        return parts[0]
+    kmers_p = [p[0] for p in parts]
+    nodes_p = [p[1] for p in parts]
+    edges_p = [p[2] for p in parts]
+
+    # --- nodes: union by hash (each part is hash-sorted and duplicate-free;
+    # within one part fancy-index += is safe), counts add across batches ---
+    uh = np.unique(np.concatenate([n['hash'] for n in nodes_p]))
+    G = len(uh)
+    n_tar = np.zeros(G, np.uint32)
+    n_neg = np.zeros(G, np.uint32)
+    total_sizes = np.zeros(G, np.int64)
+    idx_p = []
+    for npart in nodes_p:
+        idx = np.searchsorted(uh, npart['hash'])
+        idx_p.append(idx)
+        n_tar[idx] += npart['n_tar']
+        n_neg[idx] += npart['n_neg']
+        total_sizes[idx] += (npart['stop'] - npart['start']).astype(np.int64)
+    g_stop = np.cumsum(total_sizes)
+    g_start = g_stop - total_sizes
+    nodes = np.zeros(G, dtype=NODE_DTYPE)
+    nodes['hash'] = uh
+    nodes['start'] = g_start
+    nodes['stop'] = g_stop
+    nodes['n_tar'] = n_tar
+    nodes['n_neg'] = n_neg
+
+    # --- kmers: each part's array is exactly its segments tiled in node
+    # order; scatter every segment to its node's slot, after the lengths
+    # earlier batches already placed there (batch order = scan order) ---
+    kmers = np.empty(int(g_stop[-1]) if G else 0, dtype=KMER_DTYPE)
+    filled = np.zeros(G, np.int64)
+    for kp, npart, idx in zip(kmers_p, nodes_p, idx_p):
+        if not len(kp):
+            continue
+        sizes = (npart['stop'] - npart['start']).astype(np.int64)
+        csz = np.cumsum(sizes)
+        out_start = g_start[idx] + filled[idx]
+        dst = np.repeat(out_start - (csz - sizes), sizes) + np.arange(len(kp))
+        kmers[dst] = kp
+        filled[idx] += sizes
+
+    # --- edges: union by (first, second), weights (distinct-assembly
+    # counts of disjoint assembly sets) add; output stays (first, second)
+    # ascending like every build path ---
+    alle = np.concatenate(edges_p)
+    order = np.lexsort((alle['second'], alle['first']))
+    se = alle[order]
+    if len(se):
+        new = np.ones(len(se), dtype=bool)
+        new[1:] = (se['first'][1:] != se['first'][:-1]) | (
+            se['second'][1:] != se['second'][:-1])
+        starts = np.flatnonzero(new)
+        edges = se[starts].copy()
+        wsum = np.cumsum(se['weight'].astype(np.int64))
+        stops = np.append(starts[1:], len(se))
+        prev = np.where(starts > 0, wsum[starts - 1], 0)
+        edges['weight'] = wsum[stops - 1] - prev
+    else:
+        edges = np.zeros(0, dtype=EDGE_DTYPE)
+    return kmers, nodes, edges
+
+
 def build_distributed(
     assembly_paths,
     kmerlen: int,
@@ -847,6 +926,7 @@ def build_distributed(
     mesh: Mesh | None = None,
     n_cpu: int = 1,
     keep_codes: bool = False,
+    low_memory: bool = False,
 ):
     """Full distributed graph build. Same output contract (and bytes) as the
     single-chip `graph.build`.
@@ -854,36 +934,72 @@ def build_distributed(
     With ``keep_codes`` the per-assembly parsed code lists ride along as a
     sixth return value, so callers (the device-sketch estimator) never
     re-parse a FASTA the build already parsed.
+
+    ``low_memory`` bounds the staged stream: assemblies are processed in
+    consecutive whole-assembly batches of at most
+    ``n_devices * LOW_MEMORY_CHUNK_BASES`` bases (the distributed analog of
+    the single-chip low-memory chunk budget; the reference composes its
+    low-memory mode with thread parallelism the same way,
+    `/root/reference/cpp/src/seqwin/graph.cpp:213-272`), and the per-batch
+    results merge on host byte-exactly (`merge_graph_parts`).
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    from ..graph.build import U32_MAX
+    from ..graph.build import LOW_MEMORY_CHUNK_BASES, U32_MAX
     from ..io.fasta import parse_fasta_codes
 
     paths = [str(p) for p in assembly_paths]
     targets = [bool(t) for t in is_targets]
     if mesh is None:
         mesh = make_mesh()
+    budget = mesh.devices.size * LOW_MEMORY_CHUNK_BASES if low_memory else None
 
     record_ids: list[tuple[str, ...]] = []
-    all_codes: list[np.ndarray] = []
     per_asm_codes: list[list[np.ndarray]] | None = [] if keep_codes else None
     record_offsets = [0]
+    parts = []
+    batch_codes: list[np.ndarray] = []
+    batch_bases = 0
+    rec_base = 0
+
+    def flush_batch():
+        nonlocal batch_codes, batch_bases, rec_base
+        if not batch_codes:
+            return
+        # record_offsets so far covers every record in the batch, which is
+        # all the assembly resolution (searchsorted prefix) needs
+        parts.append(build_distributed_arrays(
+            batch_codes, np.array(record_offsets, dtype=np.uintp), targets,
+            kmerlen, windowsize, mesh, rec_base0=rec_base,
+        ))
+        rec_base += len(batch_codes)
+        batch_codes = []
+        batch_bases = 0
+
     n_workers = max(1, min(int(n_cpu), len(paths) or 1))
     with ThreadPoolExecutor(max_workers=n_workers) as ex:
         for ids, codes_list in ex.map(parse_fasta_codes, paths):
             record_ids.append(tuple(ids))
-            all_codes.extend(codes_list)
             record_offsets.append(record_offsets[-1] + len(ids))
+            batch_codes.extend(codes_list)
+            batch_bases += sum(len(c) for c in codes_list)
             if per_asm_codes is not None:
                 per_asm_codes.append(codes_list)
+            if budget is not None and batch_bases >= budget:
+                flush_batch()
     if record_offsets[-1] > U32_MAX:
         raise ValueError('Total number of FASTA records exceeds uint32 range')
+    flush_batch()
     offsets = np.array(record_offsets, dtype=np.uintp)
 
-    kmers, nodes, edges = build_distributed_arrays(
-        all_codes, offsets, targets, kmerlen, windowsize, mesh
-    )
+    if parts:
+        kmers, nodes, edges = merge_graph_parts(parts)
+    else:
+        from ..graph.dtypes import EDGE_DTYPE, KMER_DTYPE, NODE_DTYPE
+
+        kmers = np.zeros(0, dtype=KMER_DTYPE)
+        nodes = np.zeros(0, dtype=NODE_DTYPE)
+        edges = np.zeros(0, dtype=EDGE_DTYPE)
     if keep_codes:
         return kmers, nodes, edges, offsets, record_ids, per_asm_codes
     return kmers, nodes, edges, offsets, record_ids

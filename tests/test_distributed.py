@@ -132,6 +132,68 @@ def test_scan_record_sharded_extract_variants(extract, monkeypatch):
     np.testing.assert_array_equal(rec, ref_rec)
 
 
+@pytest.mark.parametrize('chunk_bases', [1, 2048])
+def test_build_distributed_low_memory_matches(fixture_paths, monkeypatch,
+                                              chunk_bases):
+    """Distributed low-memory mode: assemblies process in budget-capped
+    whole-assembly batches and the host merge (`merge_graph_parts`) must
+    reproduce the unbatched build byte-exactly (VERDICT r3 gap #3; the
+    reference composes low-memory with its thread parallelism,
+    `graph.cpp:213-272`). chunk_bases=1 forces one assembly per batch."""
+    if len(jax.devices()) < 8:
+        pytest.skip('not enough devices')
+    import importlib
+
+    gb = importlib.import_module('seqwin_tpu.graph.build')
+    targets = [True, True, False, False]
+    ref = build(fixture_paths, 17, 10, targets)
+    monkeypatch.setattr(gb, 'LOW_MEMORY_CHUNK_BASES', chunk_bases)
+    got = build_distributed(
+        fixture_paths, 17, 10, targets, mesh=make_mesh(8), low_memory=True)
+    for a, b in zip(ref[:4], got[:4]):
+        np.testing.assert_array_equal(a, b)
+    assert ref[4] == got[4]
+
+
+def test_build_low_memory_devices_cli_path(fixture_paths, monkeypatch):
+    """`build(..., low_memory=True, devices=N)` (the CLI composition) takes
+    the batched distributed path and matches the plain build."""
+    if len(jax.devices()) < 4:
+        pytest.skip('not enough devices')
+    import importlib
+
+    gb = importlib.import_module('seqwin_tpu.graph.build')
+    monkeypatch.setattr(gb, 'LOW_MEMORY_CHUNK_BASES', 1)
+    targets = [True, True, False, False]
+    ref = build(fixture_paths, 17, 10, targets)
+    got = build(fixture_paths, 17, 10, targets, low_memory=True, devices=4)
+    for a, b in zip(ref[:4], got[:4]):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_multihost_low_memory_warns_and_ignores(fixture_paths, monkeypatch,
+                                                caplog):
+    """The multihost path still warns-and-ignores low_memory (documented in
+    PARITY.md); this pins the warning so the contract hole stays loud."""
+    import logging
+
+    from seqwin_tpu.graph.dtypes import EDGE_DTYPE, KMER_DTYPE, NODE_DTYPE
+    from seqwin_tpu.parallel import multihost
+
+    sentinel = (
+        np.zeros(0, KMER_DTYPE), np.zeros(0, NODE_DTYPE),
+        np.zeros(0, EDGE_DTYPE), np.array([0], np.uintp), [],
+    )
+    monkeypatch.setattr(multihost, 'build_multihost', lambda *a, **k: sentinel)
+    monkeypatch.setenv('SEQWIN_TPU_MULTIHOST', '')
+    with caplog.at_level(logging.WARNING):
+        out = build(fixture_paths, 17, 10, [True, True, False, False],
+                    low_memory=True)
+    assert out[0] is sentinel[0]
+    assert any('low_memory is not supported by the multihost' in r.message
+               for r in caplog.records)
+
+
 def test_multihost_partition_contiguous_and_balanced():
     from seqwin_tpu.parallel.multihost import partition_paths
 
