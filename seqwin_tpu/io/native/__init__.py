@@ -213,11 +213,20 @@ def layout_chunk_packed(record_codes, n: int, offset: int):
 
 def parse_fasta_codes_native(path) -> tuple[list[str], list[np.ndarray]] | None:
     """Native-path equivalent of `io.fasta.parse_fasta_codes`.
-    Returns None if the native library is unavailable."""
+    Returns None if the native library is unavailable.
+
+    ZERO-COPY: the per-record arrays are read-only views over the parse
+    handle's code buffer; a finalizer on the shared ctypes window frees the
+    handle once the last view dies. The previous `.copy()` was a full
+    dataset-sized host pass (~1.6 s at 800 Mbp on this host's ~500 MB/s
+    memcpy; PERF.md round-4 ingest work)."""
+    import weakref
+
     lib = _load()
     if lib is None:
         return None
     h = lib.sq_parse(str(path).encode())
+    ok = False
     try:
         err = lib.sq_error(h)
         if err:
@@ -225,17 +234,23 @@ def parse_fasta_codes_native(path) -> tuple[list[str], list[np.ndarray]] | None:
         n_rec = lib.sq_n_records(h)
         total = lib.sq_total_bases(h)
         ids = [lib.sq_record_id(h, i).decode('utf-8', errors='replace') for i in range(n_rec)]
-        if n_rec == 0:
-            return ids, []
+        if n_rec == 0 or not total:
+            return ids, [np.zeros(0, dtype=np.uint8) for _ in range(n_rec)]
         offsets = np.ctypeslib.as_array(lib.sq_offsets(h), shape=(n_rec + 1,)).copy()
-        if total:
-            codes_flat = np.ctypeslib.as_array(lib.sq_codes(h), shape=(total,)).copy()
-        else:
-            codes_flat = np.zeros(0, dtype=np.uint8)
+        # numpy view over the C++ buffer; views of views collapse their
+        # .base to `win`, so the finalizer runs only after every record
+        # array (and any slice of one) is garbage
+        win = (ctypes.c_uint8 * total).from_address(
+            ctypes.addressof(lib.sq_codes(h).contents))
+        weakref.finalize(win, lib.sq_free, h)
+        ok = True
+        codes_flat = np.frombuffer(win, dtype=np.uint8)
+        codes_flat.flags.writeable = False
         codes = [codes_flat[offsets[i]:offsets[i + 1]] for i in range(n_rec)]
         return ids, codes
     finally:
-        lib.sq_free(h)
+        if not ok:
+            lib.sq_free(h)
 
 
 def expand_kmers_nodes(buf: np.ndarray, m: int, n_nodes: int, mq: int,

@@ -175,7 +175,21 @@ uint64_t sq_layout_chunk(
         const uint8_t* src = recs[r];
         uint64_t len = lens[r];
         std::memcpy(buf + off, src, len);
-        for (uint64_t i = 0; i < len; ++i) {
+        // invalid scan in u64 blocks: valid codes are 0-3, so any bit in
+        // 0xFC flags an invalid byte; blocks without one skip byte checks
+        uint64_t i = 0;
+        for (; i + 8 <= len; i += 8) {
+            uint64_t v;
+            std::memcpy(&v, src + i, 8);
+            if (!(v & 0xFCFCFCFCFCFCFCFCull)) continue;
+            for (int j = 0; j < 8; ++j) {
+                if (src[i + j] > 3) {
+                    if (n_inv < inv_cap) inv_out[n_inv] = (int64_t)(off + i + j);
+                    ++n_inv;
+                }
+            }
+        }
+        for (; i < len; ++i) {
             if (src[i] > 3) {
                 if (n_inv < inv_cap) inv_out[n_inv] = (int64_t)(off + i);
                 ++n_inv;
@@ -205,20 +219,40 @@ uint64_t sq_layout_chunk_packed(
     std::memset(packed, 0, n / 4);
     uint64_t off = offset;
     uint64_t n_inv = 0;
+    // per-base reference step (RMW |= so bytes shared across record
+    // boundaries compose; also the invalid-base slow path)
+    auto put1 = [&](uint8_t c, uint64_t p) {
+        if (c > 3) {
+            if (n_inv < inv_cap) inv_out[n_inv] = (int64_t)p;
+            ++n_inv;
+            c = 0;
+        }
+        packed[p >> 2] |= (uint8_t)(c << ((p & 3) * 2));
+    };
     for (uint64_t r = 0; r < n_recs; ++r) {
         starts_out[r] = (int64_t)off;
         const uint8_t* src = recs[r];
         uint64_t len = lens[r];
-        for (uint64_t i = 0; i < len; ++i) {
-            uint8_t c = src[i];
-            uint64_t p = off + i;
-            if (c > 3) {
-                if (n_inv < inv_cap) inv_out[n_inv] = (int64_t)p;
-                ++n_inv;
-                c = 0;
+        uint64_t i = 0, p = off;
+        // head: per-base until the write position is byte-aligned
+        for (; i < len && (p & 3); ++i, ++p) put1(src[i], p);
+        // body: 8 source bytes -> 2 packed bytes. Valid codes are 0-3, so
+        // any bit in 0xFC flags an invalid byte (255) -> slow path for
+        // that block. 2-bit gather per u32 half: t | t>>6 | t>>12 | t>>18
+        // moves byte-lane code c_j (bits 8j..8j+1) to bits 2j..2j+1.
+        for (; i + 8 <= len; i += 8, p += 8) {
+            uint64_t v;
+            std::memcpy(&v, src + i, 8);
+            if (v & 0xFCFCFCFCFCFCFCFCull) {
+                for (int j = 0; j < 8; ++j) put1(src[i + j], p + j);
+                continue;
             }
-            packed[p >> 2] |= (uint8_t)(c << ((p & 3) * 2));
+            uint32_t lo = (uint32_t)v & 0x03030303u;
+            uint32_t hi = (uint32_t)(v >> 32) & 0x03030303u;
+            packed[p >> 2] = (uint8_t)((lo | (lo >> 6) | (lo >> 12) | (lo >> 18)) & 0xFFu);
+            packed[(p >> 2) + 1] = (uint8_t)((hi | (hi >> 6) | (hi >> 12) | (hi >> 18)) & 0xFFu);
         }
+        for (; i < len; ++i, ++p) put1(src[i], p);
         off += len;
     }
     return n_inv;
