@@ -129,7 +129,35 @@ def _shr_flat(x, s: int):
     return x
 
 
-def _xor_ladder(lo, hi, k: int):
+def _shl_flat_roll(x, s: int):
+    """`_shl_flat` with the lane move as ONE pltpu.roll (native vreg lane
+    rotate) + a row shift + a lane-mask select, instead of two slice+concat
+    relayouts. SEQWIN_TPU_ROLL=1 A/B knob (PERF.md round-4 kernel lever)."""
+    q, rl = divmod(s, L)
+    if q:
+        x = jnp.concatenate([x[q:], x[-q:]], axis=0)
+    if rl:
+        rolled = pltpu.roll(x, L - rl, 1)  # rolled[r, l] = x[r, (l+rl) mod L]
+        nxt = jnp.concatenate([rolled[1:], rolled[-1:]], axis=0)
+        lid = jax.lax.broadcasted_iota(i32, x.shape, 1)
+        x = jnp.where(lid < i32(L - rl), rolled, nxt)
+    return x
+
+
+def _shr_flat_roll(x, s: int):
+    """`_shr_flat` via pltpu.roll; see `_shl_flat_roll`."""
+    q, rl = divmod(s, L)
+    if q:
+        x = jnp.concatenate([x[:q], x[:-q]], axis=0)
+    if rl:
+        rolled = pltpu.roll(x, rl, 1)  # rolled[r, l] = x[r, (l-rl) mod L]
+        prv = jnp.concatenate([rolled[:1], rolled[:-1]], axis=0)
+        lid = jax.lax.broadcasted_iota(i32, x.shape, 1)
+        x = jnp.where(lid >= i32(rl), rolled, prv)
+    return x
+
+
+def _xor_ladder(lo, hi, k: int, shl=_shl_flat):
     """XOR over flat forward window of k (disjoint binary decomposition)."""
     res_lo = res_hi = None
     res_len = 0
@@ -142,24 +170,24 @@ def _xor_ladder(lo, hi, k: int):
                 res_lo, res_hi = p_lo, p_hi
                 res_len = 1 << j
             else:
-                res_lo = res_lo ^ _shl_flat(p_lo, res_len)
-                res_hi = res_hi ^ _shl_flat(p_hi, res_len)
+                res_lo = res_lo ^ shl(p_lo, res_len)
+                res_hi = res_hi ^ shl(p_hi, res_len)
                 res_len += 1 << j
         kk >>= 1
         if kk:
-            p_lo = p_lo ^ _shl_flat(p_lo, 1 << j)
-            p_hi = p_hi ^ _shl_flat(p_hi, 1 << j)
+            p_lo = p_lo ^ shl(p_lo, 1 << j)
+            p_hi = p_hi ^ shl(p_hi, 1 << j)
             j += 1
     return res_lo, res_hi
 
 
-def _or_ladder(x, m: int):
+def _or_ladder(x, m: int, shl=_shl_flat):
     """OR over flat forward window of m (overlap-tolerant doubling)."""
     span = 1
     acc = x
     while span < m:
         step = min(span, m - span)
-        acc = acc | _shl_flat(acc, step)
+        acc = acc | shl(acc, step)
         span += step
     return acc
 
@@ -169,13 +197,17 @@ def _take_right(l_lo, l_hi, r_lo, r_hi):
 
 
 def _make_kernel(k: int, w: int, tb: int, hb: int, rows_in: int, n_total: int,
-                 with_hashes: bool = True, out_mode: str = 'z'):
+                 with_hashes: bool = True, out_mode: str = 'z',
+                 use_roll: bool = False):
     """``out_mode='z'``: write the per-position window-argmin z.
     ``out_mode='pfx'``: fold the emission scan into the kernel -- write the
     tile-local inclusive prefix-max of z (the emission staircase) plus the
     tile-local count of output-region staircase increases (local emission
     rank). Both ladders run at VMEM speed; phase 2 then needs NO N-wide
     XLA scan (`engine/hybrid.scan_phase2_pfx`)."""
+
+    _shl = _shl_flat_roll if use_roll else _shl_flat
+    _shr = _shr_flat_roll if use_roll else _shr_flat
 
     def kernel(scal_ref, codes_ref, z_ref, clo_ref=None, chi_ref=None):
         # scal_ref (SMEM i32[1,4]): [base_row, base%33, base%31, base%w]
@@ -212,8 +244,8 @@ def _make_kernel(k: int, w: int, tb: int, hb: int, rows_in: int, n_total: int,
         b_lo, b_hi = _sel_seed(code, SEEDS_COMP)
         b_lo, b_hi = _srol_pair(b_lo, b_hi, pm33, pm31)
 
-        wf_lo, wf_hi = _xor_ladder(a_lo, a_hi, k)
-        wr_lo, wr_hi = _xor_ladder(b_lo, b_hi, k)
+        wf_lo, wf_hi = _xor_ladder(a_lo, a_hi, k, _shl)
+        wr_lo, wr_hi = _xor_ladder(b_lo, b_hi, k, _shl)
 
         f33 = _mod_const(pm33 + ((k - 1) % 33), 33, 2 * 33)
         f31 = _mod_const(pm31 + ((k - 1) % 31), 31, 2 * 31)
@@ -225,9 +257,9 @@ def _make_kernel(k: int, w: int, tb: int, hb: int, rows_in: int, n_total: int,
         c_hi = fwd_hi + rev_hi + carry
 
         invalid_i = (code > 3).astype(i32)
-        bad_i = _or_ladder(invalid_i, k)
+        bad_i = _or_ladder(invalid_i, k, _shl)
         if k > 1:
-            start_in_i = _or_ladder(_shl_flat(start_i, 1), k - 1)
+            start_in_i = _or_ladder(_shl(start_i, 1), k - 1, _shl)
         else:
             start_in_i = jnp.zeros_like(start_i)
         in_range_i = (p <= i32(n_total - k)).astype(i32)
@@ -235,8 +267,8 @@ def _make_kernel(k: int, w: int, tb: int, hb: int, rows_in: int, n_total: int,
         valid = valid_i != 0
 
         blocker_i = (i32(1) - valid_i) | start_i
-        blk_fwd_i = _or_ladder(blocker_i, w)
-        has_blk_back_i = _shr_flat(blk_fwd_i, w - 1) if w > 1 else blocker_i
+        blk_fwd_i = _or_ladder(blocker_i, w, _shl)
+        has_blk_back_i = _shr(blk_fwd_i, w - 1) if w > 1 else blocker_i
         clean = valid & (p >= i32(w - 1)) & (has_blk_back_i == 0)
 
         # segmented rightmost-argmin over w-aligned flat segments
@@ -248,18 +280,18 @@ def _make_kernel(k: int, w: int, tb: int, hb: int, rows_in: int, n_total: int,
         s = 1
         while s < w:
             # prefix: pull from the left, only within the same segment
-            cl_lo = _shr_flat(pm_lo, s)
-            cl_hi = _shr_flat(pm_hi, s)
-            cl_i = _shr_flat(pm_i, s)
+            cl_lo = _shr(pm_lo, s)
+            cl_hi = _shr(pm_hi, s)
+            cl_i = _shr(pm_i, s)
             tr = _take_right(cl_lo, cl_hi, pm_lo, pm_hi)
             use = seg_off >= s
             pm_lo = jnp.where(use & ~tr, cl_lo, pm_lo)
             pm_hi = jnp.where(use & ~tr, cl_hi, pm_hi)
             pm_i = jnp.where(use & ~tr, cl_i, pm_i)
             # suffix: pull from the right, only within the same segment
-            cr_lo = _shl_flat(sm_lo, s)
-            cr_hi = _shl_flat(sm_hi, s)
-            cr_i = _shl_flat(sm_i, s)
+            cr_lo = _shl(sm_lo, s)
+            cr_hi = _shl(sm_hi, s)
+            cr_i = _shl(sm_i, s)
             tr2 = _take_right(sm_lo, sm_hi, cr_lo, cr_hi)
             use2 = seg_off <= w - 1 - s
             sm_lo = jnp.where(use2 & tr2, cr_lo, sm_lo)
@@ -267,9 +299,9 @@ def _make_kernel(k: int, w: int, tb: int, hb: int, rows_in: int, n_total: int,
             sm_i = jnp.where(use2 & tr2, cr_i, sm_i)
             s <<= 1
         if w > 1:
-            t_lo = _shr_flat(sm_lo, w - 1)
-            t_hi = _shr_flat(sm_hi, w - 1)
-            t_i = _shr_flat(sm_i, w - 1)
+            t_lo = _shr(sm_lo, w - 1)
+            t_hi = _shr(sm_hi, w - 1)
+            t_i = _shr(sm_i, w - 1)
             tr3 = _take_right(t_lo, t_hi, pm_lo, pm_hi)
             win_lo = jnp.where(tr3, pm_lo, t_lo)
             win_hi = jnp.where(tr3, pm_hi, t_hi)
@@ -294,17 +326,17 @@ def _make_kernel(k: int, w: int, tb: int, hb: int, rows_in: int, n_total: int,
             pfx = z
             s = 1
             while s < tot:
-                sh = _shr_flat(pfx, s)
+                sh = _shr(pfx, s)
                 pfx = jnp.where(tpos >= i32(s) + out0,
                                 jnp.maximum(pfx, sh), pfx)
                 s <<= 1
             # staircase increases, counted over the output region only
-            prev = jnp.where(tpos >= out0 + i32(1), _shr_flat(pfx, 1), i32(-1))
+            prev = jnp.where(tpos >= out0 + i32(1), _shr(pfx, 1), i32(-1))
             inc = ((pfx > prev) & (rid >= i32(hb))).astype(i32)
             lr = inc
             s = 1
             while s < tot:
-                sh = _shr_flat(lr, s)
+                sh = _shr(lr, s)
                 lr = lr + jnp.where(tpos >= i32(s), sh, i32(0))
                 s <<= 1
             z_ref[:] = pfx[hb:hb + tb]
@@ -326,12 +358,29 @@ def _halos(k: int, w: int) -> tuple[int, int]:
     return hb, ha
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=('k', 'w', 'tb', 'interpret', 'with_hashes', 'out'))
 def pallas_phase1(codes_aug_2d, k: int, w: int, tb: int = 512,
                   interpret: bool = False, with_hashes: bool = True,
-                  out: str = 'z'):
+                  out: str = 'z', use_roll: bool | None = None):
+    """See `_pallas_phase1_jit`. ``use_roll=None`` resolves SEQWIN_TPU_ROLL
+    here, OUTSIDE the jit cache, so the flag is always part of the compiled
+    program's static key (the same trace-time-env hazard ShardSpec.extract
+    documents). NOTE: callers that trace this inside their own jitted
+    programs (fused/distributed) freeze the flag at their trace time."""
+    if use_roll is None:
+        import os
+
+        use_roll = os.environ.get('SEQWIN_TPU_ROLL', '0') == '1'
+    return _pallas_phase1_jit(
+        codes_aug_2d, k, w, tb, interpret, with_hashes, out, use_roll)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('k', 'w', 'tb', 'interpret', 'with_hashes', 'out',
+                     'use_roll'))
+def _pallas_phase1_jit(codes_aug_2d, k: int, w: int, tb: int = 512,
+                       interpret: bool = False, with_hashes: bool = True,
+                       out: str = 'z', use_roll: bool = False):
     """Run the fused scan kernel over an (R, 128) uint8 stream.
 
     Args:
@@ -359,7 +408,8 @@ def pallas_phase1(codes_aug_2d, k: int, w: int, tb: int = 512,
     rows_in = tb + hb + ha
     assert hb + r_out + (rows_in - tb - hb) <= rtotal
     n_total = rtotal * L
-    kernel = _make_kernel(k, w, tb, hb, rows_in, n_total, with_hashes, out)
+    kernel = _make_kernel(k, w, tb, hb, rows_in, n_total, with_hashes, out,
+                          use_roll)
     tiles = r_out // tb
 
     n_out = 3 if with_hashes else (2 if out == 'pfx' else 1)

@@ -59,6 +59,30 @@ def test_pallas_phase1_all_clean_long():
     np.testing.assert_array_equal(np.asarray(z), z_ref)
 
 
+@pytest.mark.parametrize('k,w', [(7, 10), (21, 200), (13, 256)])
+@pytest.mark.parametrize('out', ['z', 'pfx'])
+def test_pallas_roll_variant_matches_default(k, w, out):
+    """SEQWIN_TPU_ROLL lane shifts (pltpu.roll + row shift + lane select)
+    must be byte-equal to the slice+concat shifts on every output mode."""
+    rng = np.random.default_rng(k + w)
+    records = []
+    for n_rec, frac in [(900, 0.0), (2500, 0.02), (1300, 0.1)]:
+        c = rng.integers(0, 4, size=n_rec).astype(np.uint8)
+        c[rng.random(n_rec) < frac] = 255
+        records.append(c)
+    aug2d, starts, n = _layout(records, k, w)
+    wh = out == 'z'
+    a = pallas_phase1(aug2d, k, w, interpret=True, with_hashes=wh, out=out,
+                      use_roll=False)
+    b = pallas_phase1(aug2d, k, w, interpret=True, with_hashes=wh, out=out,
+                      use_roll=True)
+    for x, y in zip(a, b):
+        if x is None:
+            assert y is None
+            continue
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_pallas_z_only_matches_with_hashes():
     """The hot path's z-only kernel variant (phase 2 recomputes hashes at
     emitted positions) must produce the same z stream."""
