@@ -42,34 +42,42 @@ def main():
     total = sum(len(r) for r in records)
     offsets = np.array([0, N_GENOMES], dtype=np.uintp)
 
+    # SEQWIN_AB_ROLL=1 adds the pltpu.roll lane-shift kernel variant to the
+    # sweep (2x the configs, each paying its own remote compile)
+    rolls = (0, 1) if os.environ.get('SEQWIN_AB_ROLL') == '1' else (0,)
     results = {}
-    for mode in ('topk', 'rank', 'pfx'):
-        os.environ['SEQWIN_TPU_EXTRACT'] = mode
-        times = []
-        count = None
-        try:
-            for rep in range(REPS):
-                t0 = time.time()
-                e_oh, e_pos, e_rec, cnt, e_asm = hybrid.scan_chunk_device(
-                    records, K, W, min_chunk=1 << 25, defer_sync=True,
-                    record_offsets=offsets)
-                np.asarray(e_oh[:8])  # force the full chain
-                dt = time.time() - t0
-                count = int(np.asarray(cnt))
-                times.append(dt)
-                print(f'{mode} rep{rep}: {dt:.3f}s (count={count})', flush=True)
-        finally:
-            os.environ.pop('SEQWIN_TPU_EXTRACT', None)
-        warm = times[1:] or times
-        results[mode] = (min(warm), sorted(warm)[len(warm) // 2], count)
+    for roll in rolls:
+        for mode in ('topk', 'rank', 'pfx'):
+            os.environ['SEQWIN_TPU_EXTRACT'] = mode
+            os.environ['SEQWIN_TPU_ROLL'] = str(roll)
+            label = mode if roll == 0 else f'{mode}+roll'
+            times = []
+            count = None
+            try:
+                for rep in range(REPS):
+                    t0 = time.time()
+                    e_oh, e_pos, e_rec, cnt, e_asm = hybrid.scan_chunk_device(
+                        records, K, W, min_chunk=1 << 25, defer_sync=True,
+                        record_offsets=offsets)
+                    np.asarray(e_oh[:8])  # force the full chain
+                    dt = time.time() - t0
+                    count = int(np.asarray(cnt))
+                    times.append(dt)
+                    print(f'{label} rep{rep}: {dt:.3f}s (count={count})',
+                          flush=True)
+            finally:
+                os.environ.pop('SEQWIN_TPU_EXTRACT', None)
+                os.environ.pop('SEQWIN_TPU_ROLL', None)
+            warm = times[1:] or times
+            results[label] = (min(warm), sorted(warm)[len(warm) // 2], count)
 
     print()
     base_cnt = None
-    for mode, (tmin, tmed, cnt) in results.items():
+    for label, (tmin, tmed, cnt) in results.items():
         if base_cnt is None:
             base_cnt = cnt
         eq = 'count==topk' if cnt == base_cnt else f'COUNT MISMATCH ({cnt})'
-        print(f'{mode}: min {tmin:.3f}s / med {tmed:.3f}s over {total/1e6:.0f} '
+        print(f'{label}: min {tmin:.3f}s / med {tmed:.3f}s over {total/1e6:.0f} '
               f'Mbp chunk -> {total / tmin / 1e6:.0f} Mpos/s min  [{eq}]')
 
 
