@@ -1,0 +1,42 @@
+"""bench.py protocol smoke: the driver-facing contract is ONE parseable
+JSON line per completed scale with the headline fields (round 3 recorded
+nothing because the old single-JSON-at-exit protocol timed out; VERDICT r3
+next-round #1)."""
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_bench_emits_parseable_headline_json():
+    env = dict(
+        os.environ,
+        SEQWIN_TPU_PLATFORM='cpu',
+        JAX_PLATFORMS='cpu',
+        BENCH_GENOMES='4',
+        BENCH_GENOME_LEN='200000',
+        BENCH_SAMPLES='2',
+        BENCH_BUDGET_S='240',
+    )
+    out = subprocess.run(
+        [sys.executable, str(REPO / 'bench.py')],
+        capture_output=True, text=True, timeout=280, env=env, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [ln for ln in out.stdout.splitlines() if ln.strip()]
+    assert lines, f'no stdout; stderr: {out.stderr[-2000:]}'
+    parsed = [json.loads(ln) for ln in lines]  # every line must be valid JSON
+    head = parsed[-1]
+    for key in ('metric', 'value', 'unit', 'vs_baseline', 'headline_scale',
+                'methodology', 'scales'):
+        assert key in head, key
+    assert head['metric'] == 'graph_build_minimizers_per_s'
+    assert head['value'] > 0
+    scale = head['scales'][head['headline_scale']]
+    assert scale['status'] == 'done'
+    assert len(scale['samples_s']) == 2
+    # the materialized-build comparison sample must be recorded too
+    assert 'materialize_s' in scale
