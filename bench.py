@@ -276,6 +276,27 @@ def main() -> None:
         logging.getLogger('jax').setLevel(logging.WARNING)
     signal.signal(signal.SIGTERM, _sig)
     signal.signal(signal.SIGINT, _sig)
+    # Dead-relay guard: axon backend init can hang forever inside the PJRT
+    # client constructor (observed 2026-08-18: make_c_api_client blocked
+    # >1 h). Probe it in a SUBPROCESS with a hard timeout so a dead relay
+    # costs 2 min and a clear message instead of the driver's whole budget.
+    cpu_forced = (os.environ.get('SEQWIN_TPU_PLATFORM') == 'cpu'
+                  or os.environ.get('JAX_PLATFORMS') == 'cpu')
+    if not cpu_forced:
+        import subprocess
+
+        try:
+            probe = subprocess.run(
+                [sys.executable, '-c', 'import jax; jax.devices()'],
+                capture_output=True, timeout=120, env=dict(os.environ),
+            )
+            ok = probe.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if not ok:
+            print('# FATAL: TPU backend probe hung or failed (relay down?); '
+                  'no benchmark possible', file=sys.stderr, flush=True)
+            sys.exit(1)
     import seqwin_tpu  # noqa: F401  (x64 on)
 
     try:
