@@ -145,14 +145,12 @@ def _build_impl(
     if mh is not None:
         from ..parallel import multihost
 
-        if low_memory:
-            logger.warning(
-                'low_memory is not supported by the multihost build path; ignoring')
         if mh not in ('', '1'):
             coord, nproc_s, pid_s = mh.rsplit(',', 2)
             multihost.initialize(coord, int(nproc_s), int(pid_s))
         return _as_deferred(multihost.build_multihost(
-            paths, kmerlen, windowsize, targets, n_cpu=n_cpu), defer)
+            paths, kmerlen, windowsize, targets, n_cpu=n_cpu,
+            low_memory=low_memory), defer)
 
     # multi-device (single-host) build: shard_map over an N-device mesh.
     # devices == 0 -> all local devices (the reference's `--threads` analog

@@ -116,66 +116,112 @@ def exchange_record_ids(
     return out
 
 
+def _size_batches(paths: list[str], sizes: list[int], budget: int):
+    """Consecutive whole-assembly batches with estimated bases <= budget
+    (soft bound: the estimate is the stat size, with gzip scaled 3x).
+    Deterministic from the global path list, so every process computes the
+    SAME batches without communicating -- the low-memory composition's
+    collective calls then line up across processes."""
+    est = [s * 3 if p.endswith('.gz') else s for p, s in zip(paths, sizes)]
+    batches: list[tuple[int, int]] = []
+    lo, acc = 0, 0
+    for i, e in enumerate(est):
+        acc += int(e)
+        if acc >= budget:
+            batches.append((lo, i + 1))
+            lo, acc = i + 1, 0
+    if lo < len(paths):
+        batches.append((lo, len(paths)))
+    return batches
+
+
 def build_multihost(
     assembly_paths,
     kmerlen: int,
     windowsize: int,
     is_targets,
     n_cpu: int = 1,
+    low_memory: bool = False,
 ):
     """Multi-host distributed graph build: same output contract (and bytes)
     as `graph.build`, with genomes data-parallel across processes AND chips.
 
     Requires `initialize()` (or a single process, where this reduces to
     `build_distributed` over all local devices).
+
+    ``low_memory`` processes assemblies in consecutive whole-assembly
+    batches of ~``n_devices * LOW_MEMORY_CHUNK_BASES`` estimated bases.
+    Batches are derived from the global stat sizes (identical on every
+    process, no sync needed); each batch is partitioned across processes,
+    built, and the parts merge on host byte-exactly
+    (`distributed.merge_graph_parts`).
     """
     from concurrent.futures import ThreadPoolExecutor
 
     from ..io.fasta import parse_fasta_codes
-    from .distributed import build_distributed_arrays, make_mesh
+    from .distributed import build_distributed_arrays, make_mesh, merge_graph_parts
 
     paths = [str(p) for p in assembly_paths]
     targets = np.asarray([bool(t) for t in is_targets])
     nproc = jax.process_count()
     pid = jax.process_index()
+    mesh = make_mesh(devices=jax.devices())  # ALL devices, process-spanning
 
     sizes = [Path(p).stat().st_size for p in paths]
-    mine = partition_indices(sizes, nproc, pid)
-    logger.info(f'process {pid}/{nproc}: parsing {len(mine)}/{len(paths)} assemblies')
+    if low_memory:
+        from ..graph.build import LOW_MEMORY_CHUNK_BASES
 
-    my_counts = np.zeros(len(mine), dtype=np.int64)
-    my_codes: list[np.ndarray] = []
-    my_ids: list[tuple[str, ...]] = []
-    workers = max(1, min(int(n_cpu), len(mine) or 1))
-    with ThreadPoolExecutor(max_workers=workers) as ex:
-        for j, (ids, codes_list) in enumerate(
-                ex.map(parse_fasta_codes, (paths[i] for i in mine))):
-            my_counts[j] = len(ids)
-            my_ids.append(tuple(ids))
-            my_codes.extend(codes_list)
+        batches = _size_batches(
+            paths, sizes, mesh.devices.size * LOW_MEMORY_CHUNK_BASES)
+    else:
+        batches = [(0, len(paths))] if paths else []
 
-    if nproc == 1:
-        record_offsets = np.concatenate(([0], np.cumsum(my_counts))).astype(np.uintp)
-        mesh = make_mesh()
-        kmers, nodes, edges = build_distributed_arrays(
-            my_codes, record_offsets, targets, kmerlen, windowsize, mesh
-        )
-        return kmers, nodes, edges, record_offsets, my_ids
+    parts = []
+    all_ids: list[tuple[str, ...]] = []
+    offsets_list: list[int] = [0]
+    for lo, hi in batches:
+        bpaths = paths[lo:hi]
+        mine = partition_indices(sizes[lo:hi], nproc, pid)
+        logger.info(
+            f'process {pid}/{nproc}: parsing {len(mine)}/{len(bpaths)} '
+            f'assemblies (batch {lo}:{hi})')
+        my_counts = np.zeros(len(mine), dtype=np.int64)
+        my_codes: list[np.ndarray] = []
+        my_ids: list[tuple[str, ...]] = []
+        workers = max(1, min(int(n_cpu), len(mine) or 1))
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            for j, (ids, codes_list) in enumerate(
+                    ex.map(parse_fasta_codes, (bpaths[i] for i in mine))):
+                my_counts[j] = len(ids)
+                my_ids.append(tuple(ids))
+                my_codes.extend(codes_list)
 
-    # --- multi-process path (requires jax.distributed) ---
-    from jax.experimental import multihost_utils
+        batch_counts = exchange_record_counts(my_counts, nproc)
+        # global record index of this process's first record in this batch
+        first_asm = mine[0] if mine else len(batch_counts)
+        base = offsets_list[-1]
+        rec_base0 = base + int(np.sum(batch_counts[:first_asm]))
+        offsets_list.extend(
+            (base + np.cumsum(batch_counts)).astype(np.int64).tolist())
+        record_offsets = np.asarray(offsets_list, dtype=np.uintp)
 
-    all_counts = exchange_record_counts(my_counts, nproc)
-    record_offsets = np.concatenate(([0], np.cumsum(all_counts))).astype(np.uintp)
-    # global record index of this process's first record
-    first_asm = mine[0] if mine else len(all_counts)
-    rec_base0 = int(record_offsets[first_asm])
+        parts.append(build_distributed_arrays(
+            my_codes, record_offsets, targets, kmerlen, windowsize, mesh,
+            rec_base0=rec_base0,
+        ))
+        all_ids.extend(exchange_record_ids(my_ids, nproc))
 
-    mesh = make_mesh(devices=jax.devices())  # ALL devices, process-spanning
-    kmers, nodes, edges = build_distributed_arrays(
-        my_codes, record_offsets, targets, kmerlen, windowsize, mesh,
-        rec_base0=rec_base0,
-    )
-    all_ids = exchange_record_ids(my_ids, nproc)
-    multihost_utils.sync_global_devices('seqwin-tpu multihost build')
+    if parts:
+        kmers, nodes, edges = merge_graph_parts(parts)
+    else:
+        from ..graph.dtypes import EDGE_DTYPE, KMER_DTYPE, NODE_DTYPE
+
+        kmers = np.zeros(0, dtype=KMER_DTYPE)
+        nodes = np.zeros(0, dtype=NODE_DTYPE)
+        edges = np.zeros(0, dtype=EDGE_DTYPE)
+    record_offsets = np.asarray(offsets_list, dtype=np.uintp)
+    if nproc > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices('seqwin-tpu multihost build')
     return kmers, nodes, edges, record_offsets, all_ids

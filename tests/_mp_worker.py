@@ -5,8 +5,12 @@ those, and participates in one global 4-device CPU mesh (2 devices per
 process); the hash-bucketed all_to_all crosses the process boundary over
 gloo exactly like it would cross DCN on a real pod.
 
-Usage: python tests/_mp_worker.py <process_id> <port> <out.npz> <paths.txt>
+Usage: python tests/_mp_worker.py <process_id> <port> <out.npz> <paths.txt> \
+    [lowmem]
 paths.txt lines: "<fasta path>\t<0|1 is_target>"
+``lowmem`` runs the low-memory composition with a 1-base batch budget so
+every assembly becomes its own batch (exercises the per-batch collectives
+staying aligned across processes).
 """
 import os
 import sys
@@ -14,6 +18,7 @@ import sys
 
 def main() -> None:
     pid, port, out_path, paths_txt = sys.argv[1:5]
+    low_memory = len(sys.argv) > 5 and sys.argv[5] == 'lowmem'
     os.environ['JAX_PLATFORMS'] = 'cpu'
     flags = os.environ.get('XLA_FLAGS', '')
     if 'xla_force_host_platform_device_count' not in flags:
@@ -42,7 +47,14 @@ def main() -> None:
             paths.append(p)
             targets.append(bool(int(t)))
 
-    kmers, nodes, edges, offsets, record_ids = build_multihost(paths, 17, 10, targets)
+    if low_memory:
+        import importlib
+
+        gb = importlib.import_module('seqwin_tpu.graph.build')
+        gb.LOW_MEMORY_CHUNK_BASES = 1  # every assembly its own batch
+
+    kmers, nodes, edges, offsets, record_ids = build_multihost(
+        paths, 17, 10, targets, low_memory=low_memory)
     if int(pid) == 0:
         import json
 

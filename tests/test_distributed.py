@@ -171,27 +171,26 @@ def test_build_low_memory_devices_cli_path(fixture_paths, monkeypatch):
         np.testing.assert_array_equal(a, b)
 
 
-def test_multihost_low_memory_warns_and_ignores(fixture_paths, monkeypatch,
-                                                caplog):
-    """The multihost path still warns-and-ignores low_memory (documented in
-    PARITY.md); this pins the warning so the contract hole stays loud."""
-    import logging
+def test_multihost_low_memory_single_process_matches(fixture_paths,
+                                                     monkeypatch):
+    """Multihost low-memory composition (global stat-size batches +
+    per-batch partition + host merge) must reproduce the plain build
+    byte-exactly; 1-base budget forces one assembly per batch."""
+    import importlib
 
-    from seqwin_tpu.graph.dtypes import EDGE_DTYPE, KMER_DTYPE, NODE_DTYPE
-    from seqwin_tpu.parallel import multihost
+    from seqwin_tpu.parallel.multihost import build_multihost
 
-    sentinel = (
-        np.zeros(0, KMER_DTYPE), np.zeros(0, NODE_DTYPE),
-        np.zeros(0, EDGE_DTYPE), np.array([0], np.uintp), [],
-    )
-    monkeypatch.setattr(multihost, 'build_multihost', lambda *a, **k: sentinel)
-    monkeypatch.setenv('SEQWIN_TPU_MULTIHOST', '')
-    with caplog.at_level(logging.WARNING):
-        out = build(fixture_paths, 17, 10, [True, True, False, False],
-                    low_memory=True)
-    assert out[0] is sentinel[0]
-    assert any('low_memory is not supported by the multihost' in r.message
-               for r in caplog.records)
+    gb = importlib.import_module('seqwin_tpu.graph.build')
+    monkeypatch.setattr(gb, 'LOW_MEMORY_CHUNK_BASES', 1)
+    targets = [True, True, False, False]
+    ref_k, ref_n, ref_e, ref_off, ref_ids = build(fixture_paths, 17, 10, targets)
+    got_k, got_n, got_e, got_off, got_ids = build_multihost(
+        fixture_paths, 17, 10, targets, low_memory=True)
+    np.testing.assert_array_equal(got_k, ref_k)
+    np.testing.assert_array_equal(got_n, ref_n)
+    np.testing.assert_array_equal(got_e, ref_e)
+    np.testing.assert_array_equal(got_off, ref_off)
+    assert [tuple(t) for t in got_ids] == [tuple(t) for t in ref_ids]
 
 
 def test_multihost_partition_contiguous_and_balanced():
@@ -237,13 +236,16 @@ def test_multihost_record_bookkeeping_invariance():
     np.testing.assert_array_equal(exchange_record_counts(counts, 1), counts)
 
 
-def test_multihost_two_process_e2e(tmp_path, fixture_paths):
+@pytest.mark.parametrize('low_memory', [False, True])
+def test_multihost_two_process_e2e(tmp_path, fixture_paths, low_memory):
     """REAL 2-process multihost build: two OS processes, each parsing only
     its own assemblies, one global 4-device CPU mesh, bucket merge crossing
     the process boundary over gloo. Output must be byte-identical to the
     single-process `graph.build` (the process-level analog of the
     reference's thread-count-equivalence contract,
-    `/root/reference/tests/smoke/test_graph.py:59-121`)."""
+    `/root/reference/tests/smoke/test_graph.py:59-121`). With ``low_memory``
+    the batched composition runs one assembly per batch, checking the
+    per-batch collectives stay aligned across processes."""
     import socket
     import subprocess
     import sys
@@ -261,10 +263,11 @@ def test_multihost_two_process_e2e(tmp_path, fixture_paths):
     worker = Path(__file__).parent / '_mp_worker.py'
     env = {**os.environ, 'PYTHONPATH': str(Path(__file__).parent.parent)}
     env.pop('XLA_FLAGS', None)  # workers set their own 2-device count
+    extra = ['lowmem'] if low_memory else []
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(pid), str(port),
-             str(out_npz), str(paths_txt)],
+             str(out_npz), str(paths_txt), *extra],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
         for pid in range(2)
