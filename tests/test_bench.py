@@ -40,3 +40,20 @@ def test_bench_emits_parseable_headline_json():
     assert len(scale['samples_s']) == 2
     # the materialized-build comparison sample must be recorded too
     assert 'materialize_s' in scale
+
+
+def test_bench_fails_fast_when_backend_unavailable():
+    """Dead-relay guard: with an unregisterable TPU backend the probe must
+    fail and bench must exit 1 with a clear message (not hang into the
+    driver's budget; the axon client constructor blocked >1 h on
+    2026-08-18)."""
+    env = dict(os.environ, JAX_PLATFORMS='axon')
+    env.pop('SEQWIN_TPU_PLATFORM', None)
+    env.pop('PYTHONPATH', None)  # no axon_site -> backend cannot register
+    out = subprocess.run(
+        [sys.executable, str(REPO / 'bench.py')],
+        capture_output=True, text=True, timeout=200, env=env, cwd=REPO,
+    )
+    assert out.returncode == 1
+    assert 'FATAL: TPU backend probe' in out.stderr
+    assert not out.stdout.strip()  # no bogus JSON
