@@ -137,7 +137,10 @@ def _shl_flat_roll(x, s: int):
     if q:
         x = jnp.concatenate([x[q:], x[-q:]], axis=0)
     if rl:
-        rolled = pltpu.roll(x, L - rl, 1)  # rolled[r, l] = x[r, (l+rl) mod L]
+        # Shift amount MUST be an i32 scalar: a Python int lowers to i64 and
+        # real-chip Mosaic rejects it ('tpu.dynamic_rotate' operand #1 must be
+        # 32-bit) -- the CPU interpreter accepts either (chip-only landmine).
+        rolled = pltpu.roll(x, i32(L - rl), 1)  # rolled[r,l] = x[r,(l+rl)%L]
         nxt = jnp.concatenate([rolled[1:], rolled[-1:]], axis=0)
         lid = jax.lax.broadcasted_iota(i32, x.shape, 1)
         x = jnp.where(lid < i32(L - rl), rolled, nxt)
@@ -150,7 +153,7 @@ def _shr_flat_roll(x, s: int):
     if q:
         x = jnp.concatenate([x[:q], x[:-q]], axis=0)
     if rl:
-        rolled = pltpu.roll(x, rl, 1)  # rolled[r, l] = x[r, (l-rl) mod L]
+        rolled = pltpu.roll(x, i32(rl), 1)  # rolled[r,l] = x[r,(l-rl)%L]; i32: see _shl_flat_roll
         prv = jnp.concatenate([rolled[:1], rolled[:-1]], axis=0)
         lid = jax.lax.broadcasted_iota(i32, x.shape, 1)
         x = jnp.where(lid >= i32(rl), rolled, prv)
@@ -369,7 +372,11 @@ def pallas_phase1(codes_aug_2d, k: int, w: int, tb: int = 512,
     if use_roll is None:
         import os
 
-        use_roll = os.environ.get('SEQWIN_TPU_ROLL', '0') == '1'
+        # Default ON since round 4: measured on-chip at kernel level the roll
+        # lane shifts win on both production configs (z-only 902 vs 669
+        # Mpos/s, pfx 489 vs 456; bit-exact; benchmarks/r4/bench_pallas_r4.log)
+        # and are neutral-within-noise at pipeline level (extract_ab_r4b.log).
+        use_roll = os.environ.get('SEQWIN_TPU_ROLL', '1') == '1'
     return _pallas_phase1_jit(
         codes_aug_2d, k, w, tb, interpret, with_hashes, out, use_roll)
 
