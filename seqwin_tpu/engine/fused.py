@@ -121,6 +121,9 @@ def _fused_build(payload, starts_u, inv, stream_end, starts, patch_pos,
                 payload_c, starts_u_c, inv_c, se_c, spec.n, spec.offset)
         else:
             codes_aug = payload_c
+        # the packed payload doubles as phase 2's canon-hash gather source
+        # (5x over byte gathers; benchmarks/r4/profile_phase2b.log)
+        packed_c = payload_c if spec.packed and spec.n % 16 == 0 else None
         if spec.extract == 'pfx':
             zpfx, lrank, ts = pfx_phase1(
                 codes_aug, spec.k, spec.w, spec.n, spec.offset,
@@ -128,11 +131,13 @@ def _fused_build(payload, starts_u, inv, stream_end, starts, patch_pos,
             return scan_phase2_pfx(
                 zpfx, lrank, codes_aug, pp_c, pz_c, starts_c, rb_c, at_c,
                 spec.emit_cap, spec.k, spec.offset, ts,
+                packed_u8=packed_c,
             )
         z_clean = _phase1_in_body(codes_aug, spec)
         return scan_phase2(
             z_clean, codes_aug, pp_c, pz_c, starts_c, rb_c, at_c,
             spec.emit_cap, spec.k, extract=spec.extract,
+            packed_u8=packed_c,
         )
 
     e_oh, e_pos, e_rec, counts, e_asm = jax.lax.map(

@@ -216,6 +216,80 @@ def _canon_at_emitted(codes_aug, safe, k: int):
     return fwd + rev
 
 
+def _pack_codes_u32(codes_aug):
+    """Device repack of the (augmented) byte stream into the 2-bit/base u32
+    layout of the native h2d transfer: word[i] bits 2j..2j+1 = codes[16i+j]&3
+    (little-endian byte order, identical to `io/native` packing). Tail-padded
+    with two extra words so the 3-word funnel gather in
+    `_canon_at_emitted_packed` never reads out of bounds. Garbage 2-bit
+    values at invalid/padding bytes are harmless: only valid k-mer positions
+    are ever hashed (dead lanes are masked by callers)."""
+    n = codes_aug.shape[0]
+    pad = (-n) % 16
+    c = (codes_aug & jnp.uint8(3)).astype(jnp.uint32)
+    if pad:
+        c = jnp.concatenate([c, jnp.zeros((pad,), jnp.uint32)])
+    sh = jnp.arange(16, dtype=jnp.uint32) * jnp.uint32(2)
+    w = jnp.sum(c.reshape(-1, 16) << sh[None, :], axis=1, dtype=jnp.uint32)
+    return jnp.concatenate([w, jnp.zeros((2,), jnp.uint32)])
+
+
+def _packed_u8_to_u32(packed_u8):
+    """Bitcast the native 2-bit packed byte buffer (n/4 u8, n % 16 == 0) to
+    the u32 word view `_canon_at_emitted_packed` gathers from, with the same
+    +2-word tail pad as `_pack_codes_u32`."""
+    pu32 = jax.lax.bitcast_convert_type(
+        packed_u8.reshape(-1, 4), jnp.uint32).reshape(-1)
+    return jnp.concatenate([pu32, jnp.zeros((2,), jnp.uint32)])
+
+
+def _canon_at_emitted_packed(packed_u32, safe, k: int):
+    """`_canon_at_emitted` reading the 2-bit packed stream: TWO u32 gathers
+    (plus one for the funnel tail) instead of k byte gathers -- measured 5x
+    faster at emit-cap 512K on TPU (benchmarks/r4/profile_phase2b.log:
+    192 ms -> 39 ms), and the packed buffer is what h2d ships anyway.
+
+    Requires k <= 32 (bases j < 16 decode from the lo funnel word, j < 32
+    from hi). Bit-exact vs the byte path for valid positions (chip-verified);
+    dead lanes produce garbage that callers mask with ``live``."""
+    assert k <= 32, 'funnel decode covers k <= 32; use _canon_at_emitted'
+    fwd_t, rev_t = _rot_seed_tables(k)
+    fwd_j = jnp.asarray(np.ascontiguousarray(fwd_t[:, :4]))  # [k, 4] u64
+    rev_j = jnp.asarray(np.ascontiguousarray(rev_t[:, :4]))
+    base = safe >> 4                       # u32 word index (16 bases/word)
+    # keep the funnel in PURE u32: a mixed u32>>i32 shift promotes to int64
+    # under the package's jax_enable_x64 (exact but 64-bit emulated on the
+    # VPU) and to an int32 ARITHMETIC shift without x64 (sign-extension
+    # corrupts the spliced w1 bits) -- explicit u32 is exact either way
+    sh = ((safe & i32(15)) << 1).astype(jnp.uint32)
+    w0 = packed_u32[base]
+    w1 = packed_u32[base + 1]
+    w2 = packed_u32[base + 2]
+    # funnel words: lo = bases 0..15 of the k-mer, hi = bases 16..31
+    # (the sh == 0 arm masks the undefined << 32 of the other branch)
+    lo = jnp.where(sh > 0, (w0 >> sh) | (w1 << (jnp.uint32(32) - sh)), w0)
+    hi = jnp.where(sh > 0, (w1 >> sh) | (w2 << (jnp.uint32(32) - sh)), w1)
+    fwd = jnp.zeros(safe.shape, _U64)
+    rev = jnp.zeros(safe.shape, _U64)
+    for j in range(k):
+        word = lo if j < 16 else hi
+        cj = ((word >> jnp.uint32((j % 16) * 2)) & jnp.uint32(3)).astype(i32)
+        fwd = fwd ^ fwd_j[j][cj]
+        rev = rev ^ rev_j[j][cj]
+    return fwd + rev
+
+
+def _canon_dispatch(codes_aug, safe, k: int, packed_u8=None):
+    """Pick the fastest exact canon-at-position path: native packed buffer
+    when the caller has it on device, else an in-program repack (still ~3x
+    the byte-gather path), else the k-byte-gather fallback for k > 32."""
+    if k > 32:
+        return _canon_at_emitted(codes_aug, safe, k)
+    if packed_u8 is not None:
+        return _canon_at_emitted_packed(_packed_u8_to_u32(packed_u8), safe, k)
+    return _canon_at_emitted_packed(_pack_codes_u32(codes_aug), safe, k)
+
+
 def extract_mode() -> str:
     """Resolve the emission-extraction variant from SEQWIN_TPU_EXTRACT
     ('topk' default; 'rank' and 'pfx' alternatives) with loud rejection of
@@ -304,7 +378,7 @@ def _bsearch_rows(flat, row, tgt, ts: int, side_left: bool):
 @functools.partial(jax.jit, static_argnames=('emit_cap', 'k', 'offset', 'ts'))
 def scan_phase2_pfx(zpfx, lrank, codes_aug, patch_pos, patch_z, starts,
                     rec_base, asm_tab, emit_cap: int, k: int,
-                    offset: int, ts: int):
+                    offset: int, ts: int, packed_u8=None):
     """Phase 2 with the emission scan already folded into phase 1: NO
     N-wide XLA op remains -- everything here is tile-count (T), patch-count
     (pcap) or emit_cap scale gather arithmetic.
@@ -415,7 +489,7 @@ def scan_phase2_pfx(zpfx, lrank, codes_aug, patch_pos, patch_z, starts,
     # --- identical mapping tail to scan_phase2 ---
     safe = jnp.clip(eidx, 0, codes_aug.shape[0] - 1)
     live_e = eidx >= 0
-    e_canon = _canon_at_emitted(codes_aug, safe, k)
+    e_canon = _canon_dispatch(codes_aug, safe, k, packed_u8)
     t = e_canon * _u64(out_hash_mult(k))
     e_oh = jnp.where(live_e, t ^ (t >> _u64(MULTISHIFT)), _u64(0))
     rec_local = jnp.searchsorted(starts, eidx, side='right').astype(i32) - 1
@@ -428,7 +502,8 @@ def scan_phase2_pfx(zpfx, lrank, codes_aug, patch_pos, patch_z, starts,
 
 @functools.partial(jax.jit, static_argnames=('emit_cap', 'k', 'extract'))
 def scan_phase2(z_clean, codes_aug, patch_pos, patch_z, starts, rec_base,
-                asm_tab, emit_cap: int, k: int, extract: str = 'topk'):
+                asm_tab, emit_cap: int, k: int, extract: str = 'topk',
+                packed_u8=None):
     """Device call 2: z-patch, emission prefix-max, two-level extraction, and
     the final (record, position, out-hash) mapping -- all device-resident so
     no per-chunk host round-trip is needed.
@@ -499,7 +574,7 @@ def scan_phase2(z_clean, codes_aug, patch_pos, patch_z, starts, rec_base,
         eidx = jnp.roll(asc, -n_pad)
     safe = jnp.clip(eidx, 0, codes_aug.shape[0] - 1)
     live = eidx >= 0
-    e_canon = _canon_at_emitted(codes_aug, safe, k)
+    e_canon = _canon_dispatch(codes_aug, safe, k, packed_u8)
     t = e_canon * _u64(out_hash_mult(k))
     e_oh = jnp.where(live, t ^ (t >> _u64(MULTISHIFT)), _u64(0))
     rec_local = jnp.searchsorted(starts, eidx, side='right').astype(i32) - 1
@@ -851,10 +926,16 @@ def scan_chunk_device(
         icap = max(256, next_pow2(len(inv_rec) or 1))
         inv_a = np.full(icap, n, dtype=np.int32)
         inv_a[:len(inv_rec)] = inv_rec
+        packed_d = jnp.asarray(packed)
         codes_aug = _unpack_aug(
-            jnp.asarray(packed), jnp.asarray(starts_ua), jnp.asarray(inv_a),
+            packed_d, jnp.asarray(starts_ua), jnp.asarray(inv_a),
             jnp.int32(stream_end), n, offset,
         )
+        # phase 2 re-reads the packed buffer for the canon-hash funnel
+        # gathers (needs n % 16 for the u32 view); measured 5x over the
+        # byte-gather path (benchmarks/r4/profile_phase2b.log)
+        if n % 16:
+            packed_d = None
     else:
         codes, starts = _host_layout(record_codes, n, offset=offset)
         codes[starts] |= 64
@@ -862,6 +943,7 @@ def scan_chunk_device(
             starts, k, w, n, total=stream_end, codes=codes,
         )
         codes_aug = jnp.asarray(codes)
+        packed_d = None
 
     scap = max(64, next_pow2(len(starts)))
     starts_a = np.full(scap, n, dtype=np.int32)
@@ -917,11 +999,12 @@ def scan_chunk_device(
             return scan_phase2_pfx(
                 zpfx, lrank, codes_aug, jnp.asarray(patch_pos_a),
                 jnp.asarray(patch_z_a), starts_j, jnp.int32(rec_base), off_j,
-                cap, k, offset, ts_pfx,
+                cap, k, offset, ts_pfx, packed_u8=packed_d,
             )
         return scan_phase2(
             z_clean, codes_aug, jnp.asarray(patch_pos_a), jnp.asarray(patch_z_a),
             starts_j, jnp.int32(rec_base), off_j, cap, k, extract,
+            packed_u8=packed_d,
         )
 
     if defer_sync:
