@@ -3,10 +3,10 @@
 Prints ONE JSON line per completed scale (each a complete result; the LAST
 line is the most complete -- parse that). Headline: minimizers/s at the
 REFERENCE scale (~800 Mbp: 170 genomes x 4.7 Mbp, the 171-Salmonella-class
-workload the baseline was measured on) when it completes within the budget;
-otherwise the 192 Mbp scale (run FIRST so a slow relay window still records
-the round-over-round number -- round 3's single-JSON-at-the-end protocol
-timed out and recorded nothing).
+workload the baseline was measured on), which runs FIRST (round 5: the
+scales share compiled shapes, so headline-first costs ~nothing and
+guarantees the number that counts is the one a tight budget records);
+the 192 Mbp round-over-round scale runs second when budget remains.
 
 Wall-clock budget: BENCH_BUDGET_S (default 900 s) covers EVERYTHING --
 dataset generation, remote-compile warmup, and samples. Phases check the
@@ -52,12 +52,16 @@ BUDGET_S = float(os.environ.get('BENCH_BUDGET_S', '900'))
 T_START = time.time()
 DEADLINE = T_START + BUDGET_S
 
-# (label, n_genomes, genome_len). FAST scale first: it records the
-# round-over-round number even if the budget kills the headline scale.
-# '800M' is the reference scale and becomes the headline when it completes.
+# (label, n_genomes, genome_len). HEADLINE scale ('800M', the reference's
+# 171-Salmonella-class workload) runs FIRST: it is the number that counts,
+# the scales share nearly all compiled shapes (the 192M warmup after an
+# 800M run was ~20 s in benchmarks/r4/bench_r4b.json), and incremental
+# emission after every sample means a budget kill mid-run still records the
+# headline. (Round 4 ran 192M first and a 458 s warmup window ate the 800M
+# budget -- the official capture recorded only the non-headline scale.)
 SCALES = [
-    ('192M', 64, 3_000_000),
     ('800M', 170, 4_700_000),
+    ('192M', 64, 3_000_000),
 ]
 HEADLINE_PREFERENCE = ['800M', '192M', 'custom']
 if os.environ.get('BENCH_GENOMES') or os.environ.get('BENCH_GENOME_LEN'):
@@ -303,14 +307,14 @@ def main() -> None:
     try:
         for i, (label, n_genomes, genome_len) in enumerate(SCALES):
             if i > 0:
-                # warmup estimate for the next scale: its remote compiles are
-                # mostly shared with the first scale's, but merge/emission cap
-                # buckets differ -> budget the first scale's warmup again,
-                # plus datagen + 2 samples' worth of build time
+                # warmup estimate for the next (smaller) scale: its remote
+                # compiles are mostly shared with the headline scale's
+                # (~20 s observed, benchmarks/r4/bench_r4b.json) -- budget
+                # 120 s for warmup+datagen plus samples scaled by workload
+                # ratio from the headline scale's slowest build
                 first = _scales[SCALES[0][0]]
-                need = (first.get('warmup_s', 120)
-                        + 4.2 * max(first.get('samples_s', [30]))
-                        + 90)
+                ratio = (n_genomes * genome_len) / (SCALES[0][1] * SCALES[0][2])
+                need = 120 + 6.2 * ratio * max(first.get('samples_s', [30]))
                 if remaining() < need:
                     print(f'# skipping {label}: {remaining():.0f}s left < '
                           f'{need:.0f}s estimated', file=sys.stderr, flush=True)

@@ -265,10 +265,14 @@ def _canon_at_emitted_packed(packed_u32, safe, k: int):
     w0 = packed_u32[base]
     w1 = packed_u32[base + 1]
     w2 = packed_u32[base + 2]
-    # funnel words: lo = bases 0..15 of the k-mer, hi = bases 16..31
-    # (the sh == 0 arm masks the undefined << 32 of the other branch)
-    lo = jnp.where(sh > 0, (w0 >> sh) | (w1 << (jnp.uint32(32) - sh)), w0)
-    hi = jnp.where(sh > 0, (w1 >> sh) | (w2 << (jnp.uint32(32) - sh)), w1)
+    # funnel words: lo = bases 0..15 of the k-mer, hi = bases 16..31.
+    # The splice shift is written (x << 1) << (31 - sh) so the sh == 0 arm
+    # (masked off by the where) still computes a DEFINED value -- a plain
+    # `x << (32 - sh)` would be a shift by 32 there, which XLA leaves
+    # undefined per backend even in dead branches.
+    one, t1 = jnp.uint32(1), jnp.uint32(31) - sh
+    lo = jnp.where(sh > 0, (w0 >> sh) | ((w1 << one) << t1), w0)
+    hi = jnp.where(sh > 0, (w1 >> sh) | ((w2 << one) << t1), w1)
     fwd = jnp.zeros(safe.shape, _U64)
     rev = jnp.zeros(safe.shape, _U64)
     for j in range(k):
@@ -379,9 +383,13 @@ def _bsearch_rows(flat, row, tgt, ts: int, side_left: bool):
 def scan_phase2_pfx(zpfx, lrank, codes_aug, patch_pos, patch_z, starts,
                     rec_base, asm_tab, emit_cap: int, k: int,
                     offset: int, ts: int, packed_u8=None):
-    """Phase 2 with the emission scan already folded into phase 1: NO
+    """Phase 2 with the emission scan already folded into phase 1: no
     N-wide XLA op remains -- everything here is tile-count (T), patch-count
-    (pcap) or emit_cap scale gather arithmetic.
+    (pcap) or emit_cap scale gather arithmetic -- EXCEPT when no 2-bit
+    packed buffer reaches `_canon_dispatch` (byte route, or a chunk size
+    not divisible by 16): the canon recomputation then runs `_pack_codes_u32`,
+    one N-wide repack, in-program. Every production caller passes
+    ``packed_u8`` so the repack is a fallback, not the steady-state path.
 
     Foundation (also what `scan_phase2`'s global cummax rests on): the
     window-argmin sequence of one stream is a monotone staircase -- the

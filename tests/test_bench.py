@@ -42,6 +42,19 @@ def test_bench_emits_parseable_headline_json():
     assert 'materialize_s' in scale
 
 
+def test_bench_headline_scale_runs_first():
+    """VERDICT r4 #1: the 800M headline scale must be FIRST in the schedule
+    so a tight driver budget records the number that counts (round 4's
+    official capture recorded only 192M because 800M ran second)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location('bench_mod', REPO / 'bench.py')
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.SCALES[0][0] == '800M'
+    assert mod.HEADLINE_PREFERENCE[0] == '800M'
+
+
 def test_bench_fails_fast_when_backend_unavailable():
     """Dead-relay guard: with an unregisterable TPU backend the probe must
     fail and bench must exit 1 with a clear message (not hang into the
