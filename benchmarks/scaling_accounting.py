@@ -38,9 +38,10 @@ import jax.numpy as jnp  # noqa: E402
 from seqwin_tpu.parallel import distributed as D  # noqa: E402
 
 K, W = 21, 200
-# measured single-chip costs at 33.5 M positions (PERF.md round-2 table)
+# measured single-chip costs at 33.5 M positions (PERF.md round-4:
+# packed-canon phase 2 = 70 ms; phase 1 = Pallas tb=512 kernel)
 PHASE1_S_PER_POS = 0.102 / 33_500_000     # fused Pallas phase 1
-PHASE2_S_PER_POS = 0.081 / 33_500_000     # two-level emission extraction
+PHASE2_S_PER_POS = 0.070 / 33_500_000     # emission extraction + packed canon
 MERGE_S_PER_ENTRY = (0.093 + 0.153) / 3_100_000  # node+edge merges / stream
 ICI_BYTES_PER_S = 45e9    # v5e per-direction ICI ~45 GB/s
 DCN_BYTES_PER_S = 6.25e9  # ~50 Gb/s DCN per host (conservative)

@@ -466,7 +466,10 @@ def test_count_prepass_histograms_exact():
     )
 
     # ground truth per shard from the host reference scan (emitted hashes
-    # ARE the z-position hashes), bucketed with the build's range partition
+    # ARE the z-position hashes), bucketed with the build's range partitions
+    # (equal-width for nodes, equal-mass `_pair_bucket_host` for pairs)
+    from seqwin_tpu.parallel.distributed import _pair_bucket_host
+
     def bucket(oh):
         return ((oh >> np.uint64(32)).astype(np.int64) * n_dev) >> 32
 
@@ -480,7 +483,7 @@ def test_count_prepass_histograms_exact():
             exp_e = np.bincount(bucket(oh), minlength=n_dev)
             pair = rec[:-1] == rec[1:]
             pu = np.minimum(oh[:-1], oh[1:])[pair]
-            exp_p = np.bincount(bucket(pu), minlength=n_dev)
+            exp_p = np.bincount(_pair_bucket_host(pu, n_dev), minlength=n_dev)
         np.testing.assert_array_equal(e_hist[d], exp_e, err_msg=f'e_hist dev {d}')
         np.testing.assert_array_equal(p_hist[d], exp_p, err_msg=f'p_hist dev {d}')
 
