@@ -257,6 +257,26 @@ def _pack_edges_compact(e_first, e_second, e_weight, eq: int):
     ])
 
 
+@functools.partial(jax.jit, static_argnames=('eq',))
+def _pack_edges_idx(e_first, e_second, e_weight, node_hash, n_nodes, eq: int):
+    """Edge endpoints as u32 INDICES into the sorted node-hash column --
+    10 B/edge on the wire vs 17.5 compact / 24 interleaved (the full edge
+    d2h is ~27 MB at reference scale; the wire is the bottleneck, PERF.md).
+
+    Exact, not a hash: every endpoint IS a node hash by construction (edges
+    connect emitted minimizers; every emitted minimizer becomes a node), and
+    the node column is sorted ascending, so `searchsorted` recovers the
+    endpoint's node index and the host re-expands with one contiguous
+    gather (`_split_edges_idx`). Dead node lanes (>= n_nodes) hold 0 and
+    would break sortedness -- the search key lifts them to U64_MAX."""
+    nc = node_hash.shape[0]
+    key = jnp.where(jnp.arange(nc, dtype=i32) < n_nodes, node_hash,
+                    jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    ui = jnp.searchsorted(key, e_first[:eq]).astype(jnp.uint32)
+    vi = jnp.searchsorted(key, e_second[:eq]).astype(jnp.uint32)
+    return jnp.concatenate([ui, vi, _pk16(e_weight, eq)])
+
+
 def _split_kmers_nodes_compact(buf: np.ndarray, m: int, n_nodes: int,
                                mq: int, nq: int):
     """Expand a `_pack_kmers_nodes_compact` buffer (C fast path; NumPy
@@ -293,6 +313,18 @@ def _split_edges_compact(buf: np.ndarray, n_edges: int, eq: int):
         edges['first'] = buf[:eq * 2].view(np.uint64)[:n_edges]
         edges['second'] = buf[eq * 2:eq * 4].view(np.uint64)[:n_edges]
         edges['weight'] = buf[eq * 4:eq * 4 + eq // 2].view(np.uint16)[:n_edges]
+    return edges
+
+
+def _split_edges_idx(buf: np.ndarray, n_edges: int, eq: int,
+                     node_hashes: np.ndarray) -> np.ndarray:
+    """Expand a `_pack_edges_idx` buffer: two contiguous u64 gathers from
+    the node-hash column (pass it CONTIGUOUS -- a strided structured-field
+    base makes every random read a strided miss on this slow host)."""
+    edges = np.zeros(n_edges, dtype=EDGE_DTYPE)
+    edges['first'] = node_hashes[buf[:eq][:n_edges]]
+    edges['second'] = node_hashes[buf[eq:2 * eq][:n_edges]]
+    edges['weight'] = buf[2 * eq:2 * eq + eq // 2].view(np.uint16)[:n_edges]
     return edges
 
 
@@ -407,12 +439,13 @@ class DeviceGraph:
 
     def __init__(self, nodes, s_pos, s_rec, n_starts, n_stops, n_tar, n_neg,
                  e_first, e_second, e_weight, m, n_nodes, n_edges,
-                 mq, nq, compact):
+                 mq, nq, compact, node_hash=None):
         self.nodes = nodes
         self._s_pos, self._s_rec = s_pos, s_rec
         self._n_starts, self._n_stops = n_starts, n_stops
         self._n_tar, self._n_neg = n_tar, n_neg
         self._e_first, self._e_second, self._e_weight = e_first, e_second, e_weight
+        self._node_hash = node_hash  # device-resident sorted hash column
         self.n_kmers = m
         self.n_nodes = n_nodes
         self.n_edges = n_edges
@@ -423,27 +456,53 @@ class DeviceGraph:
     def materialize(self) -> tuple[np.ndarray, np.ndarray]:
         """Full (kmers, edges) host arrays -- the non-deferred transfer.
         (Nodes already live on host; a minimal 4k node block rides along so
-        the packed layout stays shared with the build-time pack programs.)"""
+        the packed layout stays shared with the build-time pack programs.)
+
+        Both pack programs are dispatched BEFORE the first (blocking) d2h so
+        the edge pack's device execution rides the kmers transfer."""
         nq = 1 << 12  # node_cap floor; node columns are >= this by construction
         pack_kn = _pack_kmers_nodes_compact if self._compact else _pack_kmers_nodes
-        buf_kn = np.asarray(pack_kn(
+        buf_kn_dev = pack_kn(
             self._s_pos, self._s_rec,
             jnp.zeros(nq, jnp.uint64), self._n_starts, self._n_stops,
             self._n_tar, self._n_neg, self._mq, nq,
-        ))
+        )
+        buf_e_dev, eq, use_idx = self._dispatch_edges()
+        buf_kn = np.asarray(buf_kn_dev)
         if self._compact:
             kmers, _ = _split_kmers_nodes_compact(
                 buf_kn, self.n_kmers, 0, self._mq, nq)
         else:
             kmers, _ = _split_kmers_nodes(
                 buf_kn, self.n_kmers, 0, self._mq, nq)
-        return kmers, self.materialize_edges()
+        return kmers, self._finish_edges(buf_e_dev, eq, use_idx)
+
+    def _dispatch_edges(self):
+        import os
+
+        eq = _quantized_cap(self.n_edges, self._e_first.shape[0])
+        use_idx = (
+            self._compact and eq % 2 == 0 and self._node_hash is not None
+            and os.environ.get('SEQWIN_TPU_EDGE_IDX', '1') != '0'
+        )
+        if use_idx:
+            buf = _pack_edges_idx(
+                self._e_first, self._e_second, self._e_weight,
+                self._node_hash, i32(self.n_nodes), eq)
+        else:
+            buf = _pack_edges(self._e_first, self._e_second, self._e_weight, eq)
+        return buf, eq, use_idx
+
+    def _finish_edges(self, buf_dev, eq: int, use_idx: bool) -> np.ndarray:
+        buf_e = np.asarray(buf_dev)
+        if use_idx:
+            return _split_edges_idx(
+                buf_e, self.n_edges, eq,
+                np.ascontiguousarray(self.nodes['hash']))
+        return _split_edges(buf_e, self.n_edges, eq)
 
     def materialize_edges(self) -> np.ndarray:
-        eq = _quantized_cap(self.n_edges, self._e_first.shape[0])
-        buf_e = np.asarray(_pack_edges(
-            self._e_first, self._e_second, self._e_weight, eq))
-        return _split_edges(buf_e, self.n_edges, eq)
+        return self._finish_edges(*self._dispatch_edges())
 
     def filter_edges(self, weight_th) -> np.ndarray:
         """EDGE_DTYPE survivors of ``weight > floor(weight_th)``; only they
@@ -477,6 +536,7 @@ class DeviceGraph:
         self._s_pos = self._s_rec = None
         self._n_starts = self._n_stops = self._n_tar = self._n_neg = None
         self._e_first = self._e_second = self._e_weight = None
+        self._node_hash = None
         self.record_codes = None
 
 
@@ -644,20 +704,31 @@ def aggregate_device(
         return DeviceGraph(
             nodes, s_pos, s_rec, n_starts, n_stops, n_tar, n_neg,
             e_first, e_second, e_weight, m, n_nodes, n_edges, mq, nq, compact,
+            node_hash=node_hash,
         )
 
     eq = min(-(-max(n_edges, 1) // q) * q, edge_cap)
     # u16 packing pairs two entries per word; eq can be odd only when the
     # (odd) pair_max capacity bound caps it on tiny inputs -- interleave then
     compact_e = compact and eq % 2 == 0
-    pack_e = _pack_edges_compact if compact_e else _pack_edges
-    buf_e = np.asarray(pack_e(e_first, e_second, e_weight, eq))
+    edge_idx = compact_e and os.environ.get('SEQWIN_TPU_EDGE_IDX', '1') != '0'
+    if edge_idx:
+        buf_e = np.asarray(_pack_edges_idx(
+            e_first, e_second, e_weight, node_hash, i32(n_nodes), eq))
+    else:
+        pack_e = _pack_edges_compact if compact_e else _pack_edges
+        buf_e = np.asarray(pack_e(e_first, e_second, e_weight, eq))
 
     if compact:
         kmers, nodes = _split_kmers_nodes_compact(buf_kn, m, n_nodes, mq, nq)
+        # contiguous node-hash column straight from the transfer buffer
+        ho = mq + mq // 2
+        hash_col = buf_kn[ho:ho + nq * 2].view(np.uint64)
     else:
         kmers, nodes = _split_kmers_nodes(buf_kn, m, n_nodes, mq, nq)
-    if compact_e:
+    if edge_idx:
+        edges = _split_edges_idx(buf_e, n_edges, eq, hash_col)
+    elif compact_e:
         edges = _split_edges_compact(buf_e, n_edges, eq)
     else:
         edges = _split_edges(buf_e, n_edges, eq)

@@ -42,6 +42,21 @@ def test_deferred_materialize_matches_build(built):
     np.testing.assert_array_equal(d_edges, edges)
 
 
+def test_edge_idx_encoding_matches_plain(built, fixture_paths, monkeypatch):
+    """The u32-node-index edge d2h encoding (default on) must reproduce the
+    exact u64 endpoint hashes of the plain encodings, for both the direct
+    build and DeviceGraph.materialize_edges."""
+    (kmers, nodes, edges, *_), (g, *_rest) = built  # built with idx default ON
+    monkeypatch.setenv('SEQWIN_TPU_EDGE_IDX', '0')
+    targets = [True, True, False, False]
+    kmers0, nodes0, edges0, *_ = build(fixture_paths, K, W, targets)
+    np.testing.assert_array_equal(edges, edges0)
+    np.testing.assert_array_equal(kmers, kmers0)
+    np.testing.assert_array_equal(nodes, nodes0)
+    g0, *_ = build_deferred(fixture_paths, K, W, targets)
+    np.testing.assert_array_equal(g.materialize_edges(), g0.materialize_edges())
+
+
 @pytest.mark.parametrize('th', [0.0, 1.0, 1.7, 2.0, 3.0, 1000.0])
 def test_deferred_filter_edges_matches_host(built, th):
     (kmers, nodes, edges, *_), (g, *_rest) = built
