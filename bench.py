@@ -314,6 +314,16 @@ def main() -> None:
             sys.exit(1)
     import seqwin_tpu  # noqa: F401  (x64 on)
 
+    # the package's basicConfig logs to stdout (CLI behavior mirrors the
+    # reference); bench stdout must stay PURE JSON -- the axon backend's
+    # first device use emits a WARNING through the root logger (observed
+    # corrupting bench_r5a.json) -- so move root handlers to stderr
+    import logging
+
+    for h in logging.getLogger().handlers:
+        if getattr(h, 'stream', None) is sys.stdout:
+            h.setStream(sys.stderr)
+
     try:
         for i, (label, n_genomes, genome_len) in enumerate(SCALES):
             if i > 0:

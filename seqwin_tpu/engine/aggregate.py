@@ -675,6 +675,9 @@ def aggregate_device(
     pack_kn = _pack_kmers_nodes_compact if compact else _pack_kmers_nodes
     # deferred mode ships the NODE columns only (mq=0); the k-mer stream and
     # the edges stay on device inside the returned DeviceGraph
+    from . import timeline
+
+    timeline.mark('agg_merge_nodes_done')
     buf_kn_dev = pack_kn(
         s_pos, s_rec, node_hash, n_starts, n_stops, n_tar, n_neg,
         0 if defer else mq, nq)
@@ -685,6 +688,7 @@ def aggregate_device(
         oh, rec, asm, edge_cap, xu, xv, xa, i32(xn)
     )
     buf_kn = np.asarray(buf_kn_dev)  # wire time rides the edge merge
+    timeline.mark('agg_kn_d2h_done', bytes=buf_kn.nbytes)
     while True:
         n_edges = int(n_edges_dev)
         if n_edges <= edge_cap:

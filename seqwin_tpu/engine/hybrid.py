@@ -898,6 +898,9 @@ def scan_chunk_device(
     total = int(sum(len(c) for c in record_codes))
     if total == 0 or not record_codes:
         return None, None, None, 0, None
+    from . import timeline
+
+    timeline.mark('prep_start', rec_base=rec_base, bases=total)
 
     # the fused Mosaic kernel is the fast path on real TPUs; elsewhere the
     # XLA phase-1 avoids the (slow) pallas interpreter
@@ -934,7 +937,9 @@ def scan_chunk_device(
         icap = max(256, next_pow2(len(inv_rec) or 1))
         inv_a = np.full(icap, n, dtype=np.int32)
         inv_a[:len(inv_rec)] = inv_rec
+        timeline.mark('h2d_submit', rec_base=rec_base, bytes=packed.nbytes)
         packed_d = jnp.asarray(packed)
+        timeline.mark('h2d_returned', rec_base=rec_base)
         codes_aug = _unpack_aug(
             packed_d, jnp.asarray(starts_ua), jnp.asarray(inv_a),
             jnp.int32(stream_end), n, offset,
@@ -1016,7 +1021,9 @@ def scan_chunk_device(
         )
 
     if defer_sync:
-        return phase2(emit_cap)  # count is a device scalar
+        res = phase2(emit_cap)  # count is a device scalar
+        timeline.mark('dispatched', rec_base=rec_base)
+        return res
     while True:
         e_oh, e_pos, e_rec, count, e_asm = phase2(emit_cap)
         count = int(count)

@@ -375,14 +375,18 @@ def _build_impl(
 
         # one batched fetch of every deferred count (8 ms relay latency per
         # transfer; a per-chunk int() would pay it len(chunks) times)
+        from ..engine import timeline
+
         deferred = [
             i for i, (inp, res) in enumerate(zip(chunk_inputs, chunk_results))
             if inp is not None and res[0] is not None
         ]
+        timeline.mark('counts_fetch_start', n_chunks=len(deferred))
         counts = (
             np.asarray(jnp.stack([chunk_results[i][3] for i in deferred]))
             if deferred else np.zeros(0, np.int32)
         )
+        timeline.mark('counts_fetched')
         count_of = dict(zip(deferred, (int(c) for c in counts)))
         resolved = []
         for i, (inp, res) in enumerate(zip(chunk_inputs, chunk_results)):

@@ -28,7 +28,9 @@ def test_bench_emits_parseable_headline_json():
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [ln for ln in out.stdout.splitlines() if ln.strip()]
     assert lines, f'no stdout; stderr: {out.stderr[-2000:]}'
-    parsed = [json.loads(ln) for ln in lines]  # every line must be valid JSON
+    # every line must be valid JSON -- root-logger output (incl. the axon
+    # backend WARNING on real chips) must ride stderr, never stdout
+    parsed = [json.loads(ln) for ln in lines]
     head = parsed[-1]
     for key in ('metric', 'value', 'unit', 'vs_baseline', 'headline_scale',
                 'methodology', 'scales'):
