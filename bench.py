@@ -244,20 +244,26 @@ def bench_scale(label: str, n_genomes: int, genome_len: int) -> dict:
             f'{sorted(round(t, 2) for t in times)}; {n_genomes} genomes x '
             f'{genome_len} bp, k={K}, w={W}', file=sys.stderr, flush=True)
 
-        # one materialized sample (round-2 / reference-comparable timing);
-        # first call may compile the full-pack program (~45 s remote) and
-        # moves several times the deferred build's d2h bytes
+        # materialized samples (round-2 / reference-comparable timing): the
+        # FIRST call compiles the direct-path pack programs (remote, window-
+        # dependent cost) -- run two and report the warm one (both recorded)
         if times and remaining() > max(times) * 3 + 90:
             res['status'] = 'materialize'
-            t0 = time.time()
-            stats = one_build(paths, targets, materialize=True)
-            mat = time.time() - t0
+            mats = []
+            for _ in range(2):
+                t0 = time.time()
+                stats = one_build(paths, targets, materialize=True)
+                mats.append(time.time() - t0)
+                if remaining() < mats[-1] * 1.5:
+                    break
             n_min = stats[0]
+            mat = min(mats)
             res['materialize_s'] = round(mat, 3)
+            res['materialize_samples_s'] = [round(t, 3) for t in mats]
             res['vs_baseline_materialized_median'] = round(
                 n_min / mat / BASELINE_MIN_PER_S, 3)
-            print(f'# [{label}] materialized build {mat:.2f}s',
-                  file=sys.stderr, flush=True)
+            print(f'# [{label}] materialized builds '
+                  f'{[round(t, 2) for t in mats]}', file=sys.stderr, flush=True)
     res['status'] = 'done'
     return res
 

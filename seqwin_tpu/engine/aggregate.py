@@ -231,18 +231,23 @@ def _pk16(x, q: int):
 @functools.partial(jax.jit, static_argnames=('mq', 'nq'))
 def _pack_kmers_nodes_compact(s_pos, s_rec, node_hash, n_starts, n_stops,
                               n_tar, n_neg, mq: int, nq: int):
-    """Compact column blocks: rec/counts as u16, start/stop as u32, no
-    penalty slot -- ~35% fewer d2h wire bytes than the interleaved layout
-    (the wire is the measured bottleneck, PERF.md). Host expansion runs in C
-    (`io/native.expand_kmers_nodes`). Callers must check u16/u32 range
-    guards (record count, assembly count, stream length)."""
+    """Compact column blocks: rec/counts as u16, start as u32, NO stop
+    column and no penalty slot -- ~45% fewer d2h wire bytes than the
+    interleaved layout (the wire is the measured bottleneck, PERF.md).
+    The stop column is redundant on the wire: k-mer segments are contiguous
+    in the sorted stream, so stop[i] == start[i+1] and the last real node
+    stops at the stream count m -- the host expansion reconstructs it
+    (`io/native.expand_kmers_nodes` / the NumPy fallback). ``n_stops`` is
+    accepted (shared caller signature with `_pack_kmers_nodes`) but unused.
+    Callers must check u16/u32 range guards (record count, assembly count,
+    stream length)."""
+    del n_stops
     u32 = jnp.uint32
     return jnp.concatenate([
         s_pos[:mq].astype(u32),
         _pk16(s_rec, mq),
         _w2(node_hash[:nq]).reshape(-1),
         n_starts[:nq].astype(u32),
-        n_stops[:nq].astype(u32),
         _pk16(n_tar, nq),
         _pk16(n_neg, nq),
     ])
@@ -278,25 +283,33 @@ def _pack_edges_idx(e_first, e_second, e_weight, node_hash, n_nodes, eq: int):
 
 
 def _split_kmers_nodes_compact(buf: np.ndarray, m: int, n_nodes: int,
-                               mq: int, nq: int):
+                               mq: int, nq: int, stream_m: int | None = None):
     """Expand a `_pack_kmers_nodes_compact` buffer (C fast path; NumPy
-    strided-write fallback when the native library is unavailable)."""
+    strided-write fallback when the native library is unavailable).
+
+    ``stream_m``: total k-mer stream count = the last real node's stop
+    (defaults to ``m``; the deferred path ships mq = 0 k-mer entries but
+    still needs the true stream count here)."""
     from ..io import native
 
+    if stream_m is None:
+        stream_m = m
     kmers = np.zeros(m, dtype=KMER_DTYPE)
     nodes = np.zeros(n_nodes, dtype=NODE_DTYPE)
     if not native.expand_kmers_nodes(
             np.ascontiguousarray(buf).view(np.uint8), m, n_nodes, mq, nq,
-            kmers, nodes):
+            kmers, nodes, stream_m):
         o = mq
         kmers['pos'] = buf[:mq][:m]
         kmers['record_idx'] = buf[o:o + mq // 2].view(np.uint16)[:m]
         o += mq // 2
         nodes['hash'] = buf[o:o + nq * 2].view(np.uint64)[:n_nodes]
         o += nq * 2
-        nodes['start'] = buf[o:o + nq][:n_nodes]
-        o += nq
-        nodes['stop'] = buf[o:o + nq][:n_nodes]
+        starts = buf[o:o + nq][:n_nodes]
+        nodes['start'] = starts
+        if n_nodes:
+            nodes['stop'][:-1] = starts[1:]
+            nodes['stop'][-1] = stream_m
         o += nq
         nodes['n_tar'] = buf[o:o + nq // 2].view(np.uint16)[:n_nodes]
         o += nq // 2
@@ -700,7 +713,8 @@ def aggregate_device(
 
     if defer:
         if compact:
-            _, nodes = _split_kmers_nodes_compact(buf_kn, 0, n_nodes, 0, nq)
+            _, nodes = _split_kmers_nodes_compact(buf_kn, 0, n_nodes, 0, nq,
+                                                  stream_m=m)
         else:
             _, nodes = _split_kmers_nodes(buf_kn, 0, n_nodes, 0, nq)
             if not nodes.flags.writeable:

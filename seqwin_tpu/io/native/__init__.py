@@ -119,6 +119,7 @@ def _register(lib: ctypes.CDLL) -> None:
         ctypes.c_uint64, ctypes.c_uint64,  # mq, nq
         ctypes.POINTER(ctypes.c_uint8),   # kmers_out
         ctypes.POINTER(ctypes.c_uint8),   # nodes_out
+        ctypes.c_uint64,                  # stream_m (last node's stop)
     ]
     lib.sq_expand_edges.restype = None
     lib.sq_expand_edges.argtypes = [
@@ -254,9 +255,11 @@ def parse_fasta_codes_native(path) -> tuple[list[str], list[np.ndarray]] | None:
 
 
 def expand_kmers_nodes(buf: np.ndarray, m: int, n_nodes: int, mq: int,
-                       nq: int, kmers: np.ndarray, nodes: np.ndarray) -> bool:
+                       nq: int, kmers: np.ndarray, nodes: np.ndarray,
+                       stream_m: int) -> bool:
     """Expand a compact kmers+nodes transfer buffer (u32/u16 column blocks,
-    see `engine/aggregate._pack_kmers_nodes_compact`) into the structured
+    NO stop column -- stop[i] = start[i+1], last stop = ``stream_m``; see
+    `engine/aggregate._pack_kmers_nodes_compact`) into the structured
     output arrays. Returns False when the native library is unavailable."""
     lib = _load()
     if lib is None:
@@ -267,6 +270,7 @@ def expand_kmers_nodes(buf: np.ndarray, m: int, n_nodes: int, mq: int,
         int(m), int(n_nodes), int(mq), int(nq),
         kmers.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         nodes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(stream_m),
     )
     return True
 

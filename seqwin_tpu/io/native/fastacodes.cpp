@@ -276,16 +276,19 @@ struct SqKmer { uint32_t pos; uint32_t rec; };
 struct SqNode { uint64_t hash, start, stop; uint32_t n_tar, n_neg; double penalty; };
 struct SqEdge { uint64_t first, second, weight; };
 
+// The compact buffer carries NO stop column: k-mer segments are contiguous
+// in the sorted stream, so stop[i] == start[i+1] and the last real node
+// stops at stream_m (the total k-mer count) -- 4 fewer wire bytes per node
+// (the d2h wire is the measured bottleneck, PERF.md round 5).
 void sq_expand_kmers_nodes(
     const uint8_t* buf, uint64_t m, uint64_t n_nodes, uint64_t mq,
-    uint64_t nq, uint8_t* kmers_out, uint8_t* nodes_out) {
+    uint64_t nq, uint8_t* kmers_out, uint8_t* nodes_out, uint64_t stream_m) {
     static_assert(sizeof(SqKmer) == 8 && sizeof(SqNode) == 40, "layout");
     const uint32_t* pos = (const uint32_t*)buf;
     const uint16_t* rec = (const uint16_t*)(pos + mq);
     const uint64_t* hash = (const uint64_t*)(rec + mq);
     const uint32_t* start = (const uint32_t*)(hash + nq);
-    const uint32_t* stop = start + nq;
-    const uint16_t* n_tar = (const uint16_t*)(stop + nq);
+    const uint16_t* n_tar = (const uint16_t*)(start + nq);
     const uint16_t* n_neg = n_tar + nq;
     SqKmer* ko = (SqKmer*)kmers_out;
     for (uint64_t i = 0; i < m; ++i) { ko[i].pos = pos[i]; ko[i].rec = rec[i]; }
@@ -293,7 +296,7 @@ void sq_expand_kmers_nodes(
     for (uint64_t i = 0; i < n_nodes; ++i) {
         no[i].hash = hash[i];
         no[i].start = start[i];
-        no[i].stop = stop[i];
+        no[i].stop = (i + 1 < n_nodes) ? (uint64_t)start[i + 1] : stream_m;
         no[i].n_tar = n_tar[i];
         no[i].n_neg = n_neg[i];
         no[i].penalty = 0.0;
