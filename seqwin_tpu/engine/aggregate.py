@@ -56,9 +56,16 @@ def _merge_nodes(oh, pos, rec, asm, is_target, m, node_cap: int):
     (hash, start, stop, n_tar, n_neg) padded to node_cap, and counts.
     """
     pad = (rec < 0).astype(jnp.uint8)
-    _, s_oh, s_pos, s_rec, s_asm = jax.lax.sort(
-        (pad, oh, pos, rec, asm), num_keys=2, is_stable=True
-    )
+    # sort only (pad, oh, perm): the 12 B/row payload (pos, rec, asm) rides
+    # a permutation gather instead of the sort's data movement -- the sort
+    # is the aggregation tail's dominant cost (PERF.md round-2: 93 ms at
+    # 3.1 M rows with 5 operands). Stability gives perm the scan order
+    # within equal (pad, oh) keys, which IS the k-mer grouping contract.
+    perm0 = jnp.arange(oh.shape[0], dtype=i32)
+    _, s_oh, perm = jax.lax.sort((pad, oh, perm0), num_keys=2, is_stable=True)
+    s_pos = pos[perm]
+    s_rec = rec[perm]
+    s_asm = asm[perm]
     n = s_oh.shape[0]
     idx = jnp.arange(n, dtype=i32)
     real = idx < m
@@ -94,28 +101,60 @@ def _merge_nodes(oh, pos, rec, asm, is_target, m, node_cap: int):
 
 
 @functools.partial(jax.jit, static_argnames=('edge_cap',))
-def _merge_edges(oh, rec, asm, edge_cap: int, xu, xv, xa, xn):
+def _merge_edges(oh, rec, asm, edge_cap: int, xu, xv, xa, xn,
+                 node_hash=None, n_nodes=None):
     """Canonicalized adjacent-pair edges with per-assembly dedup, on device.
 
     (xu, xv, xa, xn) are extra out-of-stream pairs -- block-junction edges of
     records split over multiple chunks (`hybrid.scan_record_blocks`); they go
     through the same per-(u, v, assembly) dedup as stream pairs.
+
+    With ``node_hash`` (the sorted node column from `_merge_nodes`) the sort
+    runs on u32 NODE-INDEX pairs packed into ONE u64 key instead of two u64
+    hash operands: every endpoint IS a node hash by construction, the node
+    column is sorted ascending and unique, so `searchsorted` maps hashes to
+    indices order-isomorphically -- (min, max) canonicalization, the
+    (first, second) output ordering, and the per-(u, v, asm) dedup are all
+    preserved exactly, while the sort's key bytes drop from 21 to 13 per row
+    (the edge merge is the aggregation tail's largest term at 800 Mbp,
+    benchmarks/r5/pipeline_trace.json). Hashes are gathered back from the
+    node column on output, so the contract is byte-identical either way.
     """
     adj = (rec[:-1] == rec[1:]) & (rec[:-1] >= 0)
-    u = jnp.minimum(oh[:-1], oh[1:])
-    v = jnp.maximum(oh[:-1], oh[1:])
     pad = (~adj).astype(jnp.uint8)
+    use_idx = node_hash is not None
+    if use_idx:
+        nc = node_hash.shape[0]
+        lifted = jnp.where(jnp.arange(nc, dtype=i32) < n_nodes, node_hash,
+                           jnp.uint64(0xFFFFFFFFFFFFFFFF))
+        sidx = jnp.searchsorted(lifted, oh).astype(jnp.uint32)
+        h_a, h_b = sidx[:-1], sidx[1:]
+        xu_m, xv_m = ((jnp.searchsorted(lifted, xu).astype(jnp.uint32),
+                       jnp.searchsorted(lifted, xv).astype(jnp.uint32))
+                      if xu.shape[0] else (xu, xv))
+    else:
+        h_a, h_b = oh[:-1], oh[1:]
+        xu_m, xv_m = xu, xv
+    u = jnp.minimum(h_a, h_b)
+    v = jnp.maximum(h_a, h_b)
     if xu.shape[0]:
         xvalid = jnp.arange(xu.shape[0], dtype=i32) < xn
         pad = jnp.concatenate([pad, (~xvalid).astype(jnp.uint8)])
-        u = jnp.concatenate([u, jnp.minimum(xu, xv)])
-        v = jnp.concatenate([v, jnp.maximum(xu, xv)])
+        u = jnp.concatenate([u, jnp.minimum(xu_m, xv_m)])
+        v = jnp.concatenate([v, jnp.maximum(xu_m, xv_m)])
         asm_l = jnp.concatenate([asm[:-1], xa])
     else:
         asm_l = asm[:-1]
-    _, t_u, t_v, t_a = jax.lax.sort(
-        (pad, u, v, asm_l), num_keys=4, is_stable=False
-    )
+    if use_idx:
+        key = (u.astype(jnp.uint64) << jnp.uint64(32)) | v.astype(jnp.uint64)
+        _, t_key, t_a = jax.lax.sort((pad, key, asm_l), num_keys=3,
+                                     is_stable=False)
+        t_u = t_key  # combined key compares like the (u, v) pair
+        t_v = t_key
+    else:
+        _, t_u, t_v, t_a = jax.lax.sort(
+            (pad, u, v, asm_l), num_keys=4, is_stable=False
+        )
     n = t_u.shape[0]
     n_adj = jnp.sum(adj.astype(i32)) + xn
     idx = jnp.arange(n, dtype=i32)
@@ -135,8 +174,15 @@ def _merge_edges(oh, rec, asm, edge_cap: int, xu, xv, xa, xn):
     stops = jnp.where(jnp.concatenate([live[1:], jnp.full((1,), False)]), stops, n_adj)
     stops = jnp.where(live, stops, i32(0))
 
-    e_first = jnp.where(live, t_u[safe], jnp.uint64(0))
-    e_second = jnp.where(live, t_v[safe], jnp.uint64(0))
+    if use_idx:
+        kk = t_key[safe]
+        gi = jnp.clip((kk >> jnp.uint64(32)).astype(i32), 0, nc - 1)
+        gj = jnp.clip((kk & jnp.uint64(0xFFFFFFFF)).astype(i32), 0, nc - 1)
+        e_first = jnp.where(live, node_hash[gi], jnp.uint64(0))
+        e_second = jnp.where(live, node_hash[gj], jnp.uint64(0))
+    else:
+        e_first = jnp.where(live, t_u[safe], jnp.uint64(0))
+        e_second = jnp.where(live, t_v[safe], jnp.uint64(0))
     c_stop = csum[jnp.clip(stops - 1, 0, n - 1)]
     c_start = jnp.where(safe > 0, csum[jnp.clip(safe - 1, 0, n - 1)], i32(0))
     weight = jnp.where(live, c_stop - c_start, i32(0))
@@ -697,8 +743,13 @@ def aggregate_device(
 
     pair_max = (n_padded - 1 if n_padded > 1 else 1) + xcap
     edge_cap = min(node_cap * 4, pair_max)
+    # edge sort on packed u32-index pairs (13 B/row keys vs 21; see
+    # `_merge_edges`); SEQWIN_TPU_EDGE_SORT_IDX=0 falls back to hash keys
+    idx_sort = os.environ.get('SEQWIN_TPU_EDGE_SORT_IDX', '1') != '0'
+    ekw = (dict(node_hash=node_hash, n_nodes=i32(n_nodes)) if idx_sort
+           else {})
     e_first, e_second, e_weight, n_edges_dev = _merge_edges(
-        oh, rec, asm, edge_cap, xu, xv, xa, i32(xn)
+        oh, rec, asm, edge_cap, xu, xv, xa, i32(xn), **ekw
     )
     buf_kn = np.asarray(buf_kn_dev)  # wire time rides the edge merge
     timeline.mark('agg_kn_d2h_done', bytes=buf_kn.nbytes)
@@ -708,7 +759,7 @@ def aggregate_device(
             break
         edge_cap = min(1 << (n_edges - 1).bit_length(), pair_max)
         e_first, e_second, e_weight, n_edges_dev = _merge_edges(
-            oh, rec, asm, edge_cap, xu, xv, xa, i32(xn)
+            oh, rec, asm, edge_cap, xu, xv, xa, i32(xn), **ekw
         )
 
     if defer:

@@ -127,3 +127,44 @@ def test_compact_transfer_matches_interleaved(tmp_path, monkeypatch):
             np.testing.assert_array_equal(got[1][f], ref[1][f])
         np.testing.assert_array_equal(got[2], ref[2])
         np.testing.assert_array_equal(got[3], ref[3])
+
+
+def test_merge_edges_idx_route_matches_hash_route():
+    """The packed u32-index-pair edge sort (`_merge_edges` with node_hash)
+    must be byte-equal to the u64 hash-key sort, including junction
+    (extra-pair) entries, repeated (u, v, asm) triples, and a node hash of
+    U64_MAX (which collides with the dead-lane lift value)."""
+    import jax.numpy as jnp
+
+    from seqwin_tpu.engine.aggregate import _merge_edges, _merge_nodes
+
+    rng = np.random.default_rng(7)
+    m = 700
+    cap = 1 << 10
+    # small hash universe -> heavy duplication; force a U64_MAX node
+    oh = np.zeros(cap, np.uint64)
+    oh[:m] = rng.integers(0, 40, size=m).astype(np.uint64) * np.uint64(2**60 // 40)
+    oh[5] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    pos = np.zeros(cap, np.uint32)
+    pos[:m] = np.arange(m)
+    rec = np.full(cap, -1, np.int32)
+    rec[:m] = np.repeat(np.arange(7), 100)
+    asm = np.zeros(cap, np.int32)
+    asm[:m] = rec[:m] // 2
+    tmask = jnp.asarray(np.array([True, False, True, False]))
+
+    (_, _, node_hash, _, _, _, _, n_nodes) = _merge_nodes(
+        jnp.asarray(oh), jnp.asarray(pos), jnp.asarray(rec), jnp.asarray(asm),
+        tmask, jnp.int32(m), cap)
+
+    # junction pairs: duplicate an existing stream adjacency (same asm),
+    # plus a cross-hash pair; xcap padding beyond xn must be ignored
+    xu = np.array([oh[0], oh[200], 0], np.uint64)
+    xv = np.array([oh[1], oh[300], 0], np.uint64)
+    xa = np.array([0, 1, -1], np.int32)
+    args = (jnp.asarray(oh), jnp.asarray(rec), jnp.asarray(asm), 1 << 9,
+            jnp.asarray(xu), jnp.asarray(xv), jnp.asarray(xa), jnp.int32(2))
+    ref_out = _merge_edges(*args)
+    idx_out = _merge_edges(*args, node_hash=node_hash, n_nodes=n_nodes)
+    for a, b in zip(ref_out, idx_out):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
