@@ -46,9 +46,14 @@ def main() -> int:
     reps = 3
     with tempfile.TemporaryDirectory() as td:
         tmp = Path(td)
+
+        def mk(p):
+            p.mkdir(parents=True, exist_ok=True)
+            return p
+
         scales = {
-            '800M': bench.synth_dataset(tmp / 'a', 170, 4_700_000),
-            '192M': bench.synth_dataset(tmp / 'b', 64, 3_000_000),
+            '800M': bench.synth_dataset(mk(tmp / 'a'), 170, 4_700_000),
+            '192M': bench.synth_dataset(mk(tmp / 'b'), 64, 3_000_000),
         }
         variants = [
             ('800M', 'chunk25', {'SEQWIN_TPU_CHUNK_BASES': str(1 << 25)}),
@@ -58,7 +63,8 @@ def main() -> int:
             ('192M', 'fused25', {'SEQWIN_TPU_CHUNK_BASES': str(1 << 25),
                                  'SEQWIN_TPU_FUSED': '1'}),
         ]
-        for scale, name, env in variants:
+
+        def run_variant(scale, env):
             paths, targets = scales[scale]
             for k, v in env.items():
                 os.environ[k] = v
@@ -67,23 +73,30 @@ def main() -> int:
                 g, *_ = build_deferred(paths, K, W, targets, n_cpu=8)
                 n_min = g.n_kmers
                 g.release()
-                warm = time.monotonic() - t0
-                ts = []
-                for _ in range(reps):
-                    t0 = time.monotonic()
-                    g, *_ = build_deferred(paths, K, W, targets, n_cpu=8)
-                    ts.append(round(time.monotonic() - t0, 3))
-                    g.release()
-                vs = round(n_min / min(ts) / BASELINE_MIN_PER_S, 3)
-                out[f'{scale}_{name}'] = {
-                    'warmup_s': round(warm, 1), 'samples_s': ts,
-                    'n_minimizers': n_min, 'vs_baseline_min': vs,
-                }
-                log(f'# {scale} {name}: warm {warm:.1f}s, samples {ts}, '
-                    f'vs_baseline(min) {vs}')
+                return round(time.monotonic() - t0, 3), n_min
             finally:
                 for k in env:
                     os.environ.pop(k, None)
+
+        # warm every variant's compiled shapes first, then interleave the
+        # timed samples round-robin so relay-window drift hits all variants
+        # equally (the window can halve bandwidth within an hour, PERF.md)
+        for scale, name, env in variants:
+            warm, n_min = run_variant(scale, env)
+            out[f'{scale}_{name}'] = {'warmup_s': warm, 'samples_s': [],
+                                      'n_minimizers': n_min}
+            log(f'# warm {scale} {name}: {warm:.1f}s')
+        for rep in range(reps):
+            for scale, name, env in variants:
+                t, _ = run_variant(scale, env)
+                out[f'{scale}_{name}']['samples_s'].append(t)
+                log(f'# rep{rep} {scale} {name}: {t:.3f}s')
+        for scale, name, _ in variants:
+            rec = out[f'{scale}_{name}']
+            rec['vs_baseline_min'] = round(
+                rec['n_minimizers'] / min(rec['samples_s']) / BASELINE_MIN_PER_S, 3)
+            log(f'# {scale} {name}: samples {rec["samples_s"]}, '
+                f'vs_baseline(min) {rec["vs_baseline_min"]}')
 
     outp = REPO / 'benchmarks' / 'r5' / 'chunk_ab.json'
     outp.write_text(json.dumps(out, indent=1))

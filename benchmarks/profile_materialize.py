@@ -73,10 +73,12 @@ def main() -> int:
     def make_slabs(x):
         return tuple(x[i * slab:(i + 1) * slab] for i in range(n_slabs))
 
-    x = make(jnp.ones(nwords, jnp.uint32))
-    slabs = make_slabs(x)
-    np.asarray(x[:8]); [np.asarray(s[:8]) for s in slabs]  # force + warm
+    x0 = jnp.ones(nwords, jnp.uint32)
+    x = make(x0)
+    np.asarray(x[:8]); [np.asarray(s[:8]) for s in make_slabs(x)]  # warm
 
+    # NB: jax arrays cache their host copy after the first np.asarray --
+    # every timed fetch below pulls a FRESH `make` output buffer.
     def timed(fn, reps=3):
         ts = []
         for _ in range(reps):
@@ -86,13 +88,14 @@ def main() -> int:
         return ts
 
     mb = nwords * 4 / 1e6
-    t_whole = timed(lambda: np.asarray(x))
+    t_whole = timed(lambda: np.asarray(make(x0)))
     log(f'# d2h whole {mb:.0f} MB: {t_whole} -> {mb/min(t_whole):.1f} MB/s')
-    t_serial = timed(lambda: [np.asarray(s) for s in slabs])
+    t_serial = timed(lambda: [np.asarray(s) for s in make_slabs(x0)])
     log(f'# d2h serial x{n_slabs}: {t_serial} -> {mb/min(t_serial):.1f} MB/s')
     for nw in (2, 4):
         with ThreadPoolExecutor(max_workers=nw) as pool:
-            t_conc = timed(lambda: list(pool.map(np.asarray, slabs)))
+            t_conc = timed(
+                lambda: list(pool.map(np.asarray, make_slabs(x0))))
         log(f'# d2h {nw}-thread x{n_slabs}: {t_conc} -> {mb/min(t_conc):.1f} MB/s')
         out[f'd2h_conc{nw}_s'] = t_conc
     out.update(d2h_whole_s=t_whole, d2h_serial_s=t_serial, mb=mb)
@@ -111,9 +114,10 @@ def main() -> int:
     _ = np.asarray(yb[:1, :8])
     t_burn = time.monotonic() - t0
     log(f'# burn alone: {t_burn:.3f}s')
+    xfresh = make(x0)
     t0 = time.monotonic()
     yb = burn(y0)
-    got = np.asarray(x)  # transfer while burn executes
+    got = np.asarray(xfresh)  # transfer while burn executes
     t_x = time.monotonic() - t0
     _ = np.asarray(yb[:1, :8])
     t_both = time.monotonic() - t0
@@ -131,10 +135,11 @@ def main() -> int:
     w = put(jnp.asarray(h)); np.asarray(w[:8])
     t_h2d = time.monotonic() - t0
     log(f'# h2d {mb:.0f} MB alone: {t_h2d:.3f}s -> {mb/t_h2d:.1f} MB/s')
+    xfresh2 = make(x0)
     with ThreadPoolExecutor(max_workers=2) as pool:
         t0 = time.monotonic()
         fu = pool.submit(lambda: (np.asarray(put(jnp.asarray(h))[:8]),))
-        fd = pool.submit(lambda: np.asarray(x))
+        fd = pool.submit(lambda: np.asarray(xfresh2))
         fu.result(); fd.result()
         t_duplex = time.monotonic() - t0
     log(f'# duplex h2d+d2h: {t_duplex:.3f}s (serial ~{t_h2d + min(t_whole):.3f}s)')

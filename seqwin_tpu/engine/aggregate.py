@@ -217,6 +217,66 @@ def _w2(x):  # 64-bit value column -> [n, 2] u32 words (little-endian order)
     return jax.lax.bitcast_convert_type(x.astype(jnp.uint64), jnp.uint32)
 
 
+@functools.partial(jax.jit, static_argnames=('S',))
+def _dslice(buf, i, S: int):
+    return jax.lax.dynamic_slice(buf, (i,), (S,))
+
+
+class _SlabFetch:
+    """Two-phase d2h of a large device buffer: slab-slice programs dispatch
+    at construction; `pull()` drains them with 2 concurrent transfer threads.
+
+    The relay moves ~50 MB/s with two concurrent d2h streams vs ~38 MB/s
+    for one blocking fetch (measured, benchmarks/r5/materialize_probe.json).
+    The split matters because the slices are device PROGRAMS: constructing
+    the fetch BEFORE dispatching the next compute program (the edge merge)
+    keeps the transfers overlapping that compute, exactly like the plain
+    `np.asarray` the slabs replace. Slab starts come from ONE compiled
+    dynamic-slice program per (len, S) shape (starts are traced --
+    per-offset static slices would each pay a remote compile); the last
+    slab re-reads an identical-byte overlap so every slab shares the shape.
+    SEQWIN_TPU_D2H_THREADS=1 disables slabbing entirely.
+    """
+
+    def __init__(self, buf_dev, min_words: int = 1 << 20):
+        import os
+
+        n = buf_dev.shape[0]
+        self._buf = buf_dev
+        self._n = n
+        self._threads = int(os.environ.get('SEQWIN_TPU_D2H_THREADS', '2'))
+        if self._threads <= 1 or n < 2 * min_words:
+            self._slabs = None
+            return
+        n_slabs = min(8, n // min_words)
+        S = min(((n + n_slabs - 1) // n_slabs + 4095) // 4096 * 4096, n)
+        self._S = S
+        self._starts = sorted({min(i * S, n - S) for i in range(n_slabs)})
+        self._slabs = [_dslice(buf_dev, i32(s), S) for s in self._starts]
+
+    def pull(self) -> np.ndarray:
+        if self._slabs is None:
+            return np.asarray(self._buf)
+        from concurrent.futures import ThreadPoolExecutor
+
+        out = np.empty(self._n, np.dtype(self._buf.dtype))
+        S = self._S
+
+        def pull_one(i):
+            s = self._starts[i]
+            out[s:s + S] = np.asarray(self._slabs[i])
+
+        with ThreadPoolExecutor(max_workers=self._threads) as pool:
+            list(pool.map(pull_one, range(len(self._starts))))
+        self._slabs = None
+        return out
+
+
+def _fetch_slabbed(buf_dev, min_words: int = 1 << 20) -> np.ndarray:
+    """One-shot `_SlabFetch` (when there is no compute left to overlap)."""
+    return _SlabFetch(buf_dev, min_words).pull()
+
+
 @functools.partial(jax.jit, static_argnames=('mq', 'nq'))
 def _pack_kmers_nodes(s_pos, s_rec, node_hash, n_starts, n_stops, n_tar,
                       n_neg, mq: int, nq: int):
@@ -526,8 +586,9 @@ class DeviceGraph:
             jnp.zeros(nq, jnp.uint64), self._n_starts, self._n_stops,
             self._n_tar, self._n_neg, self._mq, nq,
         )
+        kn_fetch = _SlabFetch(buf_kn_dev)
         buf_e_dev, eq, use_idx = self._dispatch_edges()
-        buf_kn = np.asarray(buf_kn_dev)
+        buf_kn = kn_fetch.pull()  # rides the edge pack's device execution
         if self._compact:
             kmers, _ = _split_kmers_nodes_compact(
                 buf_kn, self.n_kmers, 0, self._mq, nq)
@@ -553,7 +614,7 @@ class DeviceGraph:
         return buf, eq, use_idx
 
     def _finish_edges(self, buf_dev, eq: int, use_idx: bool) -> np.ndarray:
-        buf_e = np.asarray(buf_dev)
+        buf_e = _fetch_slabbed(buf_dev)
         if use_idx:
             return _split_edges_idx(
                 buf_e, self.n_edges, eq,
@@ -748,10 +809,11 @@ def aggregate_device(
     idx_sort = os.environ.get('SEQWIN_TPU_EDGE_SORT_IDX', '1') != '0'
     ekw = (dict(node_hash=node_hash, n_nodes=i32(n_nodes)) if idx_sort
            else {})
+    kn_fetch = _SlabFetch(buf_kn_dev)  # slice dispatches precede the merge
     e_first, e_second, e_weight, n_edges_dev = _merge_edges(
         oh, rec, asm, edge_cap, xu, xv, xa, i32(xn), **ekw
     )
-    buf_kn = np.asarray(buf_kn_dev)  # wire time rides the edge merge
+    buf_kn = kn_fetch.pull()  # wire time rides the edge merge
     timeline.mark('agg_kn_d2h_done', bytes=buf_kn.nbytes)
     while True:
         n_edges = int(n_edges_dev)
@@ -782,11 +844,11 @@ def aggregate_device(
     compact_e = compact and eq % 2 == 0
     edge_idx = compact_e and os.environ.get('SEQWIN_TPU_EDGE_IDX', '1') != '0'
     if edge_idx:
-        buf_e = np.asarray(_pack_edges_idx(
+        buf_e = _fetch_slabbed(_pack_edges_idx(
             e_first, e_second, e_weight, node_hash, i32(n_nodes), eq))
     else:
         pack_e = _pack_edges_compact if compact_e else _pack_edges
-        buf_e = np.asarray(pack_e(e_first, e_second, e_weight, eq))
+        buf_e = _fetch_slabbed(pack_e(e_first, e_second, e_weight, eq))
 
     if compact:
         kmers, nodes = _split_kmers_nodes_compact(buf_kn, m, n_nodes, mq, nq)

@@ -168,3 +168,18 @@ def test_merge_edges_idx_route_matches_hash_route():
     idx_out = _merge_edges(*args, node_hash=node_hash, n_nodes=n_nodes)
     for a, b in zip(ref_out, idx_out):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fetch_slabbed_exact(monkeypatch):
+    """Slabbed concurrent d2h must reassemble byte-identical buffers at
+    awkward sizes (overlapping tail slab) and honor the disable knob."""
+    import jax.numpy as jnp
+
+    from seqwin_tpu.engine.aggregate import _fetch_slabbed
+
+    for n in (100, 1 << 21, (1 << 21) + 4096, 3 * (1 << 20) + 12288):
+        ref = np.arange(n, dtype=np.uint32)
+        np.testing.assert_array_equal(_fetch_slabbed(jnp.asarray(ref)), ref)
+    monkeypatch.setenv('SEQWIN_TPU_D2H_THREADS', '1')
+    ref = np.arange(1 << 21, dtype=np.uint32)
+    np.testing.assert_array_equal(_fetch_slabbed(jnp.asarray(ref)), ref)
