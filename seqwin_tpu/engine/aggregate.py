@@ -56,16 +56,14 @@ def _merge_nodes(oh, pos, rec, asm, is_target, m, node_cap: int):
     (hash, start, stop, n_tar, n_neg) padded to node_cap, and counts.
     """
     pad = (rec < 0).astype(jnp.uint8)
-    # sort only (pad, oh, perm): the 12 B/row payload (pos, rec, asm) rides
-    # a permutation gather instead of the sort's data movement -- the sort
-    # is the aggregation tail's dominant cost (PERF.md round-2: 93 ms at
-    # 3.1 M rows with 5 operands). Stability gives perm the scan order
-    # within equal (pad, oh) keys, which IS the k-mer grouping contract.
-    perm0 = jnp.arange(oh.shape[0], dtype=i32)
-    _, s_oh, perm = jax.lax.sort((pad, oh, perm0), num_keys=2, is_stable=True)
-    s_pos = pos[perm]
-    s_rec = rec[perm]
-    s_asm = asm[perm]
+    # The payload rides the 5-operand stable sort. A perm-gather variant
+    # (sort only (pad, oh, perm), gather the 12 B/row payload) was A/B'd on
+    # chip at 8.1 M rows and REFUTED: 0.571 s vs 0.275 s -- three random
+    # 8 M-element gathers cost ~2x what they save in sort width on this
+    # TPU (PERF.md round 5 "aggregation-tail A/B").
+    _, s_oh, s_pos, s_rec, s_asm = jax.lax.sort(
+        (pad, oh, pos, rec, asm), num_keys=2, is_stable=True
+    )
     n = s_oh.shape[0]
     idx = jnp.arange(n, dtype=i32)
     real = idx < m
@@ -111,14 +109,11 @@ def _merge_edges(oh, rec, asm, edge_cap: int, xu, xv, xa, xn,
 
     With ``node_hash`` (the sorted node column from `_merge_nodes`) the sort
     runs on u32 NODE-INDEX pairs packed into ONE u64 key instead of two u64
-    hash operands: every endpoint IS a node hash by construction, the node
-    column is sorted ascending and unique, so `searchsorted` maps hashes to
-    indices order-isomorphically -- (min, max) canonicalization, the
-    (first, second) output ordering, and the per-(u, v, asm) dedup are all
-    preserved exactly, while the sort's key bytes drop from 21 to 13 per row
-    (the edge merge is the aggregation tail's largest term at 800 Mbp,
-    benchmarks/r5/pipeline_trace.json). Hashes are gathered back from the
-    node column on output, so the contract is byte-identical either way.
+    hash operands (order-isomorphic via `searchsorted`, byte-identical
+    output). REFUTED on chip at 8.1 M rows: 4.85 s vs 0.405 s for the hash
+    route -- the full-stream binary-search gathers dwarf the 21 -> 13 B/row
+    sort-width saving (PERF.md round 5 "aggregation-tail A/B"). Kept behind
+    SEQWIN_TPU_EDGE_SORT_IDX=1 (default OFF) with a differential test.
     """
     adj = (rec[:-1] == rec[1:]) & (rec[:-1] >= 0)
     pad = (~adj).astype(jnp.uint8)
@@ -804,9 +799,9 @@ def aggregate_device(
 
     pair_max = (n_padded - 1 if n_padded > 1 else 1) + xcap
     edge_cap = min(node_cap * 4, pair_max)
-    # edge sort on packed u32-index pairs (13 B/row keys vs 21; see
-    # `_merge_edges`); SEQWIN_TPU_EDGE_SORT_IDX=0 falls back to hash keys
-    idx_sort = os.environ.get('SEQWIN_TPU_EDGE_SORT_IDX', '1') != '0'
+    # u64 hash sort keys; the packed u32-index-pair variant is REFUTED on
+    # this TPU (see `_merge_edges`) and kept only as an A/B knob
+    idx_sort = os.environ.get('SEQWIN_TPU_EDGE_SORT_IDX', '0') == '1'
     ekw = (dict(node_hash=node_hash, n_nodes=i32(n_nodes)) if idx_sort
            else {})
     kn_fetch = _SlabFetch(buf_kn_dev)  # slice dispatches precede the merge

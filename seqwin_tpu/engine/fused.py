@@ -167,8 +167,7 @@ def _fused_build(payload, starts_u, inv, stream_end, starts, patch_pos,
      n_nodes) = _merge_nodes(oh, pos, rec, asm, tmask, m, spec.node_cap)
     xz = jnp.zeros(0, dtype=jnp.uint64)
     e_first, e_second, e_weight, n_edges = _merge_edges(
-        oh, rec, asm, spec.edge_cap, xz, xz, jnp.zeros(0, i32), i32(0),
-        node_hash=node_hash, n_nodes=n_nodes)
+        oh, rec, asm, spec.edge_cap, xz, xz, jnp.zeros(0, i32), i32(0))
 
     meta = jnp.concatenate([
         counts.astype(jnp.int64),

@@ -363,7 +363,8 @@ def _halos(k: int, w: int) -> tuple[int, int]:
 
 def pallas_phase1(codes_aug_2d, k: int, w: int, tb: int = 512,
                   interpret: bool = False, with_hashes: bool = True,
-                  out: str = 'z', use_roll: bool | None = None):
+                  out: str = 'z', use_roll: bool | None = None,
+                  unroll: int | None = None):
     """See `_pallas_phase1_jit`. ``use_roll=None`` resolves SEQWIN_TPU_ROLL
     here, OUTSIDE the jit cache, so the flag is always part of the compiled
     program's static key (the same trace-time-env hazard ShardSpec.extract
@@ -377,17 +378,23 @@ def pallas_phase1(codes_aug_2d, k: int, w: int, tb: int = 512,
         # Mpos/s, pfx 489 vs 456; bit-exact; benchmarks/r4/bench_pallas_r4.log)
         # and are neutral-within-noise at pipeline level (extract_ab_r4b.log).
         use_roll = os.environ.get('SEQWIN_TPU_ROLL', '1') == '1'
+    if unroll is None:
+        import os
+
+        unroll = int(os.environ.get('SEQWIN_TPU_TILE_UNROLL', '1'))
     return _pallas_phase1_jit(
-        codes_aug_2d, k, w, tb, interpret, with_hashes, out, use_roll)
+        codes_aug_2d, k, w, tb, interpret, with_hashes, out, use_roll,
+        unroll)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=('k', 'w', 'tb', 'interpret', 'with_hashes', 'out',
-                     'use_roll'))
+                     'use_roll', 'unroll'))
 def _pallas_phase1_jit(codes_aug_2d, k: int, w: int, tb: int = 512,
                        interpret: bool = False, with_hashes: bool = True,
-                       out: str = 'z', use_roll: bool = False):
+                       out: str = 'z', use_roll: bool = False,
+                       unroll: int = 1):
     """Run the fused scan kernel over an (R, 128) uint8 stream.
 
     Args:
@@ -440,14 +447,26 @@ def _pallas_phase1_jit(codes_aug_2d, k: int, w: int, tb: int = 512,
         interpret=interpret,
     )
 
-    def body(i):
-        base_row = i * tb
+    def one_tile(base_row):
         base = base_row * L
         tile_codes = jax.lax.dynamic_slice(codes_aug_2d, (base_row, i32(0)), (rows_in, L))
         scal = jnp.stack([base_row, base % 33, base % 31, base % w]).astype(i32).reshape(1, 4)
         return call(scal, tile_codes)
 
-    outs = jax.lax.map(body, jnp.arange(tiles, dtype=i32))
+    # lax.map sequences the grid-free tile calls; each iteration carries
+    # fixed while-loop overhead, so UNROLL tiles per iteration when the
+    # count divides (pure call reordering -- outputs are bit-identical)
+    if unroll > 1 and tiles % unroll == 0:
+        def body(i):
+            parts = [one_tile((i * unroll + j) * tb) for j in range(unroll)]
+            return tuple(
+                jnp.concatenate([p[o] for p in parts], axis=0)
+                for o in range(n_out))
+
+        outs = jax.lax.map(body, jnp.arange(tiles // unroll, dtype=i32))
+    else:
+        outs = jax.lax.map(lambda i: one_tile(i * tb),
+                           jnp.arange(tiles, dtype=i32))
     tail = rtotal - hb - r_out
 
     z2d = outs[0].reshape(r_out, L)
