@@ -53,6 +53,11 @@ N_SAMPLES = int(os.environ.get('BENCH_SAMPLES', '5'))
 BUDGET_S = float(os.environ.get('BENCH_BUDGET_S', '900'))
 T_START = time.time()
 DEADLINE = T_START + BUDGET_S
+# A compile-window warmup overrun must not starve the (cheap, ~7 s each)
+# timed samples: once the headline warmup is paid, the deadline is
+# extended to leave at least this much sampling room. Incremental emit()
+# after every sample keeps a hard external kill lossless.
+POST_WARMUP_FLOOR_S = min(300.0, BUDGET_S / 3)
 
 # (label, n_genomes, genome_len). HEADLINE scale ('800M', the reference's
 # 171-Salmonella-class workload) runs FIRST: it is the number that counts,
@@ -216,6 +221,8 @@ def bench_scale(label: str, n_genomes: int, genome_len: int) -> dict:
         stats = one_build(paths, targets)
         warm = time.time() - t0
         res['warmup_s'] = round(warm, 1)
+        global DEADLINE
+        DEADLINE = max(DEADLINE, time.time() + POST_WARMUP_FLOOR_S)
         print(f'# [{label}] warmup {warm:.1f}s (datagen {gen:.1f}s, '
               f'{remaining():.0f}s left)', file=sys.stderr, flush=True)
 
@@ -227,7 +234,7 @@ def bench_scale(label: str, n_genomes: int, genome_len: int) -> dict:
                 break
             # leave room for the sample itself (est. = slowest so far)
             est = max(times) * 1.1 if times else warm * 0.5
-            if times and remaining() < est:
+            if len(times) >= 3 and remaining() < est:
                 print(f'# [{label}] budget stop after {len(times)} samples',
                       file=sys.stderr, flush=True)
                 break
