@@ -8,7 +8,11 @@ scales share compiled shapes, so headline-first costs ~nothing and
 guarantees the number that counts is the one a tight budget records);
 the 192 Mbp round-over-round scale runs second when budget remains.
 
-Wall-clock budget: BENCH_BUDGET_S (default 900 s) covers EVERYTHING --
+Wall-clock budget: BENCH_BUDGET_S (default 900 s) covers EVERYTHING
+except the post-warmup sampling floor (POST_WARMUP_FLOOR_S per scale: a
+compile-window warmup overrun extends the deadline so the cheap timed
+samples still run; worst case ~2x300 s past budget, lossless under a
+hard kill thanks to per-sample emission) --
 dataset generation, remote-compile warmup, and samples. Phases check the
 deadline before starting; sample counts shrink automatically when single
 builds run slow (relay bandwidth swings several-fold between windows,
@@ -243,6 +247,7 @@ def bench_scale(label: str, n_genomes: int, genome_len: int) -> dict:
             dt = time.time() - t0
             times.append(dt)
             _update(res, stats, times)
+            emit()  # incremental: a hard kill mid-scale keeps every sample
             if dt > 45 and n_target > 3:
                 n_target = 3  # slow relay window: 3 samples is enough signal
         print(
@@ -267,8 +272,13 @@ def bench_scale(label: str, n_genomes: int, genome_len: int) -> dict:
             mat = min(mats)
             res['materialize_s'] = round(mat, 3)
             res['materialize_samples_s'] = [round(t, 3) for t in mats]
-            res['vs_baseline_materialized_median'] = round(
-                n_min / mat / BASELINE_MIN_PER_S, 3)
+            ratio = round(n_min / mat / BASELINE_MIN_PER_S, 3)
+            # the min of the <=2 samples IS the warm one (sample 1 pays any
+            # remote pack compiles); keep the legacy key as an alias for
+            # round-over-round parsers
+            res['vs_baseline_materialized_warm'] = ratio
+            res['vs_baseline_materialized_median'] = ratio
+            emit()
             print(f'# [{label}] materialized builds '
                   f'{[round(t, 2) for t in mats]}', file=sys.stderr, flush=True)
     res['status'] = 'done'

@@ -12,7 +12,9 @@ seqwin.log, and prints one JSON with the phase breakdown and the end-to-end
 ratio vs the reference's wall.
 
     PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/pipeline_e2e.py
-        [--genomes 170] [--genome-len 4700000] [--out FILE]
+        [--genome-len 4700000] [--out FILE]
+    (the genome count is fixed at 171 by the golden-proxy synth: 72
+    targets + 99 non-targets)
 
 Reference per-phase baselines (same log, real dataset -- ours is synthetic
 at matched scale and minimizer density, so the comparison is indicative,

@@ -531,6 +531,35 @@ def _compact_kmers_gather(s_pos, s_rec, n_starts, n_stops, keep, out_cap: int):
     return kw.reshape(-1)
 
 
+def _encode_edges(e_first, e_second, e_weight, n_nodes, node_hash,
+                  eq: int, compact: bool):
+    """Dispatch the edge pack program under the ONE shared wire-encoding
+    decision (u32 node indices > compact u16-weight columns > interleaved)
+    -- the direct-build and DeviceGraph paths must never drift apart here.
+    Returns (device buffer, mode) with mode in {'idx', 'compact', 'plain'}."""
+    import os
+
+    compact_e = compact and eq % 2 == 0
+    if (compact_e and node_hash is not None
+            and os.environ.get('SEQWIN_TPU_EDGE_IDX', '1') != '0'):
+        return _pack_edges_idx(e_first, e_second, e_weight, node_hash,
+                               i32(n_nodes), eq), 'idx'
+    if compact_e:
+        return _pack_edges_compact(e_first, e_second, e_weight, eq), 'compact'
+    return _pack_edges(e_first, e_second, e_weight, eq), 'plain'
+
+
+def _decode_edges(buf: np.ndarray, n_edges: int, eq: int, mode: str,
+                  node_hashes) -> np.ndarray:
+    """Host-side expansion matching `_encode_edges`; ``node_hashes`` must be
+    a CONTIGUOUS u64 array for mode='idx' (see `_split_edges_idx`)."""
+    if mode == 'idx':
+        return _split_edges_idx(buf, n_edges, eq, node_hashes)
+    if mode == 'compact':
+        return _split_edges_compact(buf, n_edges, eq)
+    return _split_edges(buf, n_edges, eq)
+
+
 def _quantized_cap(count: int, hard_cap: int, floor: int = 1 << 12) -> int:
     from .minimizer import next_pow2
 
@@ -582,7 +611,7 @@ class DeviceGraph:
             self._n_tar, self._n_neg, self._mq, nq,
         )
         kn_fetch = _SlabFetch(buf_kn_dev)
-        buf_e_dev, eq, use_idx = self._dispatch_edges()
+        buf_e_dev, eq, mode = self._dispatch_edges()
         buf_kn = kn_fetch.pull()  # rides the edge pack's device execution
         if self._compact:
             kmers, _ = _split_kmers_nodes_compact(
@@ -590,31 +619,20 @@ class DeviceGraph:
         else:
             kmers, _ = _split_kmers_nodes(
                 buf_kn, self.n_kmers, 0, self._mq, nq)
-        return kmers, self._finish_edges(buf_e_dev, eq, use_idx)
+        return kmers, self._finish_edges(buf_e_dev, eq, mode)
 
     def _dispatch_edges(self):
-        import os
-
         eq = _quantized_cap(self.n_edges, self._e_first.shape[0])
-        use_idx = (
-            self._compact and eq % 2 == 0 and self._node_hash is not None
-            and os.environ.get('SEQWIN_TPU_EDGE_IDX', '1') != '0'
-        )
-        if use_idx:
-            buf = _pack_edges_idx(
-                self._e_first, self._e_second, self._e_weight,
-                self._node_hash, i32(self.n_nodes), eq)
-        else:
-            buf = _pack_edges(self._e_first, self._e_second, self._e_weight, eq)
-        return buf, eq, use_idx
+        buf, mode = _encode_edges(
+            self._e_first, self._e_second, self._e_weight,
+            self.n_nodes, self._node_hash, eq, self._compact)
+        return buf, eq, mode
 
-    def _finish_edges(self, buf_dev, eq: int, use_idx: bool) -> np.ndarray:
+    def _finish_edges(self, buf_dev, eq: int, mode: str) -> np.ndarray:
         buf_e = _fetch_slabbed(buf_dev)
-        if use_idx:
-            return _split_edges_idx(
-                buf_e, self.n_edges, eq,
-                np.ascontiguousarray(self.nodes['hash']))
-        return _split_edges(buf_e, self.n_edges, eq)
+        return _decode_edges(buf_e, self.n_edges, eq, mode,
+                             np.ascontiguousarray(self.nodes['hash'])
+                             if mode == 'idx' else None)
 
     def materialize_edges(self) -> np.ndarray:
         return self._finish_edges(*self._dispatch_edges())
@@ -834,16 +852,11 @@ def aggregate_device(
         )
 
     eq = min(-(-max(n_edges, 1) // q) * q, edge_cap)
-    # u16 packing pairs two entries per word; eq can be odd only when the
-    # (odd) pair_max capacity bound caps it on tiny inputs -- interleave then
-    compact_e = compact and eq % 2 == 0
-    edge_idx = compact_e and os.environ.get('SEQWIN_TPU_EDGE_IDX', '1') != '0'
-    if edge_idx:
-        buf_e = _fetch_slabbed(_pack_edges_idx(
-            e_first, e_second, e_weight, node_hash, i32(n_nodes), eq))
-    else:
-        pack_e = _pack_edges_compact if compact_e else _pack_edges
-        buf_e = _fetch_slabbed(pack_e(e_first, e_second, e_weight, eq))
+    # eq can be odd only when the (odd) pair_max capacity bound caps it on
+    # tiny inputs -- _encode_edges then falls back to the interleaved layout
+    buf_e_dev, e_mode = _encode_edges(
+        e_first, e_second, e_weight, n_nodes, node_hash, eq, compact)
+    buf_e = _fetch_slabbed(buf_e_dev)
 
     if compact:
         kmers, nodes = _split_kmers_nodes_compact(buf_kn, m, n_nodes, mq, nq)
@@ -852,12 +865,8 @@ def aggregate_device(
         hash_col = buf_kn[ho:ho + nq * 2].view(np.uint64)
     else:
         kmers, nodes = _split_kmers_nodes(buf_kn, m, n_nodes, mq, nq)
-    if edge_idx:
-        edges = _split_edges_idx(buf_e, n_edges, eq, hash_col)
-    elif compact_e:
-        edges = _split_edges_compact(buf_e, n_edges, eq)
-    else:
-        edges = _split_edges(buf_e, n_edges, eq)
+    edges = _decode_edges(buf_e, n_edges, eq, e_mode,
+                          hash_col if e_mode == 'idx' else None)
     return kmers, nodes, edges
 
 

@@ -81,7 +81,18 @@ def _load() -> ctypes.CDLL | None:
         return _lib
 
 
+# must match fastacodes.cpp::sq_abi_version(); bump together on any layout
+# change that keeps old symbols loadable (the mtime check alone cannot catch
+# a stale .so copied with preserved timestamps)
+_ABI_VERSION = 2
+
+
 def _register(lib: ctypes.CDLL) -> None:
+    lib.sq_abi_version.restype = ctypes.c_uint64  # AttributeError if stale
+    got = int(lib.sq_abi_version())
+    if got != _ABI_VERSION:
+        raise AttributeError(
+            f'native library ABI {got} != expected {_ABI_VERSION} (stale build)')
     lib.sq_parse.restype = ctypes.c_void_p
     lib.sq_parse.argtypes = [ctypes.c_char_p]
     lib.sq_error.restype = ctypes.c_char_p

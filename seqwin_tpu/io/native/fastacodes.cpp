@@ -130,6 +130,12 @@ bool read_file(const char* path, std::string& out, std::string& err) {
 
 extern "C" {
 
+// Bumped on ANY change to a transfer-buffer layout or function contract
+// that keeps the symbol name/arity loadable (e.g. the stop-column removal
+// in sq_expand_kmers_nodes): the Python loader rejects a cached .so whose
+// version differs and rebuilds, closing the mtime-preserving-copy hole.
+uint64_t sq_abi_version() { return 2; }
+
 void* sq_parse(const char* path) {
     auto* p = new Parsed();
     std::string data;

@@ -124,7 +124,10 @@ def _pair_bucket(pu, live, n_dev: int):
         return jnp.where(live, i32(0), i32(1))
     hi32 = (pu >> _U64(32)).astype(i64)
     b = jnp.asarray(_pair_boundaries(n_dev), dtype=i64)
-    bucket = jnp.sum((hi32[:, None] >= b[None, :]).astype(i32), axis=1)
+    # one-pass searchsorted == sum(hi32 >= b) for sorted boundaries, and
+    # literally the host twin's algorithm (no [N, n_dev-1] broadcast
+    # intermediate at stream scale)
+    bucket = jnp.searchsorted(b, hi32, side='right').astype(i32)
     return jnp.where(live, bucket, i32(n_dev))
 
 

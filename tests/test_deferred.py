@@ -47,6 +47,10 @@ def test_edge_idx_encoding_matches_plain(built, fixture_paths, monkeypatch):
     exact u64 endpoint hashes of the plain encodings, for both the direct
     build and DeviceGraph.materialize_edges."""
     (kmers, nodes, edges, *_), (g, *_rest) = built  # built with idx default ON
+    # exercise the idx route of materialize_edges BEFORE flipping the env --
+    # _dispatch_edges reads SEQWIN_TPU_EDGE_IDX at call time
+    monkeypatch.setenv('SEQWIN_TPU_EDGE_IDX', '1')
+    idx_edges = g.materialize_edges()
     monkeypatch.setenv('SEQWIN_TPU_EDGE_IDX', '0')
     targets = [True, True, False, False]
     kmers0, nodes0, edges0, *_ = build(fixture_paths, K, W, targets)
@@ -54,7 +58,7 @@ def test_edge_idx_encoding_matches_plain(built, fixture_paths, monkeypatch):
     np.testing.assert_array_equal(kmers, kmers0)
     np.testing.assert_array_equal(nodes, nodes0)
     g0, *_ = build_deferred(fixture_paths, K, W, targets)
-    np.testing.assert_array_equal(g.materialize_edges(), g0.materialize_edges())
+    np.testing.assert_array_equal(idx_edges, g0.materialize_edges())
 
 
 @pytest.mark.parametrize('th', [0.0, 1.0, 1.7, 2.0, 3.0, 1000.0])
